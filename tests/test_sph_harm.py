@@ -1,0 +1,85 @@
+"""Tests for the spherical-harmonic noise sampler."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import special
+
+from gencast_tpu.ops import sph_harm
+
+
+def test_legendre_matches_scipy():
+  x = np.linspace(-0.95, 0.95, 11)
+  tab = sph_harm.legendre_table(x, max_l=10)
+  for l, m in [(0, 0), (1, 0), (1, 1), (5, 3), (10, 10), (7, 0)]:
+    norm = np.sqrt((2 * l + 1) / (4 * np.pi)
+                   * special.factorial(l - m) / special.factorial(l + m))
+    want = norm * special.lpmv(m, l, x) * (np.sqrt(2.0) if m > 0 else 1.0)
+    np.testing.assert_allclose(tab[l, m], want, rtol=1e-10, atol=1e-12)
+
+
+def test_triangular_zero_structure():
+  tab = sph_harm.legendre_table(np.array([0.3, -0.2]), max_l=6)
+  for l in range(7):
+    for m in range(l + 1, 7):
+      assert np.all(tab[l, m] == 0.0)
+
+
+def test_addition_theorem():
+  """sum_m Y_lm(x)^2 == (2l+1)/(4pi) at every point — the identity behind
+  unit-variance sampling."""
+  x = np.linspace(-0.9, 0.9, 7)
+  lmax = 12
+  tab = sph_harm.legendre_table(x, lmax)
+  for l in range(lmax + 1):
+    # cos^2 + sin^2 averages: at fixed phi, sum over m of
+    # Q^2 (2-d_{m0}) * (cos^2 or weighted) — integrate over phi analytically:
+    # the table already folds sqrt(2), so sum_m tab[l,m]^2 * (1/2 for m>0
+    # cos&sin each... ) Use: sum over basis functions of Y^2 at phi=0:
+    # Y_l0^2 + sum_{m>0} (sqrt2 Q cos)^2 ... depends on phi. Instead check
+    # the phi-averaged identity: mean_phi sum_basis Y^2 = (2l+1)/(4pi).
+    # mean over phi of cos^2 = sin^2 = 1/2, so:
+    total = tab[l, 0] ** 2 + sum(
+        0.5 * tab[l, m] ** 2 + 0.5 * tab[l, m] ** 2 for m in range(1, l + 1))
+    np.testing.assert_allclose(total, (2 * l + 1) / (4 * np.pi), rtol=1e-9)
+
+
+def test_unit_white_noise_statistics():
+  lat = np.arange(-90.0, 90.0 + 1e-6, 10.0)
+  lon = np.arange(0.0, 360.0, 10.0)
+  basis = sph_harm.basis_for_grid(lat, lon)
+  key = jax.random.PRNGKey(0)
+  n = 3000
+  noise = sph_harm.unit_white_noise(key, (n,), basis)
+  assert noise.shape == (n, lat.size, lon.size)
+  noise = np.asarray(noise)
+  # Mean ~ 0, pointwise variance ~ 1 everywhere (isotropy incl. poles).
+  assert abs(noise.mean()) < 0.02
+  var_by_lat = noise.var(axis=(0, 2))
+  np.testing.assert_allclose(var_by_lat, 1.0, atol=0.08)
+  # Spatial correlation: white spectrum -> neighboring lat rows nearly
+  # uncorrelated at this resolution.
+  assert noise.std() == pytest.approx(1.0, abs=0.05)
+
+
+def test_sample_isotropic_respects_spectrum_power():
+  lat = np.arange(-85.0, 85.0 + 1e-6, 10.0)
+  lon = np.arange(0.0, 360.0, 10.0)
+  basis = sph_harm.basis_for_grid(lat, lon)
+  power = jnp.zeros(basis.max_l + 1).at[3].set(2.0)  # all power at l=3
+  noise = sph_harm.sample_isotropic(jax.random.PRNGKey(1), power, (4000,),
+                                    basis)
+  var = np.asarray(noise).var()
+  assert abs(var - 2.0) < 0.1
+
+
+def test_jittable_and_dtype():
+  lat = np.arange(-90.0, 90.0 + 1e-6, 30.0)
+  lon = np.arange(0.0, 360.0, 30.0)
+  basis = sph_harm.basis_for_grid(lat, lon)
+  f = jax.jit(lambda k: sph_harm.unit_white_noise(k, (2, 3), basis,
+                                                  dtype=jnp.bfloat16))
+  out = f(jax.random.PRNGKey(2))
+  assert out.dtype == jnp.bfloat16
+  assert out.shape == (2, 3, lat.size, lon.size)
