@@ -15,3 +15,27 @@ TPU-first:
 """
 
 __version__ = "0.1.0"
+
+import flax as _flax
+
+# Parameters carry P(None, 'model') partitioning annotations for tensor
+# parallelism, but sharding is applied at jit boundaries (see
+# gencast_tpu.parallel), not eagerly at variable creation — models must be
+# constructible without an active mesh context.
+_flax.config.update("flax_always_shard_variable", False)
+
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the fused sampler program is large (2
+# denoiser calls per scan step x 16 transformer blocks) and cold-compiles
+# in minutes; cache hits make reruns instant.
+_cache_dir = _os.environ.get(
+    "GENCAST_TPU_XLA_CACHE",
+    _os.path.join(_os.path.expanduser("~/.cache"), "gencast_tpu_xla"))
+try:
+  _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+  _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # noqa: BLE001 - older jax without these flags
+  pass

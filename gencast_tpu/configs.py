@@ -1,0 +1,112 @@
+"""Standard model configurations and factories.
+
+Mirrors the reference's model zoo (README.md:155-182, training/
+train_helpers.py:94-158): the CPU-runnable nano model, the 1-degree
+split-5 model, and the paper-scale 0.25-degree split-6 model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import flax.nnx as nnx
+import numpy as np
+
+from gencast_tpu.data import registry
+from gencast_tpu.graph import compiler
+from gencast_tpu.models.denoiser import DenoiserConfig
+from gencast_tpu.models.gencast import GenCast, NoiseConfig, SamplerConfig
+from gencast_tpu.nn.transformer import TransformerConfig
+
+DEFAULT_CACHE_DIR = os.path.join(
+    os.environ.get('GENCAST_TPU_CACHE', os.path.expanduser('~/.cache')),
+    'gencast_tpu')
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+  """One named model configuration."""
+  name: str
+  task: registry.TaskSpec
+  resolution_deg: float
+  mesh_splits: int
+  d_model: int
+  num_layers: int
+  num_heads: int
+  attention_k_hop: int
+  attention_type: str = 'triblock'
+  ffw_hidden: int = 2048  # SparseTransformerConfig default (denoiser.py:97)
+  hidden_layers: int = 1
+  radius_query_fraction_edge_length: float = 0.6
+  stochastic_churn_rate: float = 0.0
+  num_noise_levels: int = 20
+
+
+# The reference demo model (training/train.py defaults: mesh 4, d_model 256,
+# 16 layers, 4 heads, k_hop 8, 2.5-degree data).
+NANO = ModelSpec(
+    name='nano', task=registry.GENCAST_TASK, resolution_deg=2.5,
+    mesh_splits=4, d_model=256, num_layers=16, num_heads=4,
+    attention_k_hop=8)
+
+# GenCast 1deg (README.md:168-175: splits=5, 1-degree, full variable set).
+ONE_DEG = ModelSpec(
+    name='1deg', task=registry.GENCAST_TASK_FULL, resolution_deg=1.0,
+    mesh_splits=5, d_model=512, num_layers=16, num_heads=4,
+    attention_k_hop=16, attention_type='pallas',
+    stochastic_churn_rate=2.5)
+
+# Paper-scale 0.25-degree splits=6 (README.md:157-166).
+QUARTER_DEG = ModelSpec(
+    name='0.25deg', task=registry.GENCAST_TASK_FULL, resolution_deg=0.25,
+    mesh_splits=6, d_model=512, num_layers=16, num_heads=4,
+    attention_k_hop=16, attention_type='pallas',
+    stochastic_churn_rate=2.5)
+
+SPECS = {s.name: s for s in (NANO, ONE_DEG, QUARTER_DEG)}
+
+
+def grid_for_resolution(deg: float) -> Tuple[np.ndarray, np.ndarray]:
+  """Equiangular grid with poles: lat ascending [-90, 90], lon [0, 360)."""
+  lat = np.arange(-90.0, 90.0 + deg / 2, deg, dtype=np.float32)
+  lon = np.arange(0.0, 360.0, deg, dtype=np.float32)
+  return lat, lon
+
+
+def build_statics(spec: ModelSpec,
+                  cache_dir: Optional[str] = DEFAULT_CACHE_DIR
+                  ) -> compiler.GraphStatics:
+  lat, lon = grid_for_resolution(spec.resolution_deg)
+  return compiler.build_graph_statics(
+      spec.mesh_splits, lat, lon,
+      radius_query_fraction_edge_length=(
+          spec.radius_query_fraction_edge_length),
+      attention_k_hop=spec.attention_k_hop,
+      block_size_multiple=128 if spec.attention_type == 'pallas' else 8,
+      cache_dir=cache_dir)
+
+
+def build_gencast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
+                  statics: Optional[compiler.GraphStatics] = None,
+                  cache_dir: Optional[str] = DEFAULT_CACHE_DIR
+                  ) -> Tuple[GenCast, compiler.GraphStatics]:
+  """Builds a GenCast model (unwrapped; see models.wrappers for the
+  normalization/NaN stack) plus its graph statics."""
+  if statics is None:
+    statics = build_statics(spec, cache_dir)
+  transformer = TransformerConfig(
+      d_model=spec.d_model, num_layers=spec.num_layers,
+      num_heads=spec.num_heads, attention_type=spec.attention_type,
+      ffw_hidden=spec.ffw_hidden)
+  model = GenCast(
+      spec.task, statics, transformer,
+      denoiser_config=DenoiserConfig(latent_size=spec.d_model,
+                                     hidden_layers=spec.hidden_layers),
+      sampler_config=SamplerConfig(
+          stochastic_churn_rate=spec.stochastic_churn_rate,
+          num_noise_levels=spec.num_noise_levels),
+      noise_config=NoiseConfig(),
+      rngs=rngs if rngs is not None else nnx.Rngs(0))
+  return model, statics

@@ -152,6 +152,36 @@ def unpack(packed: jnp.ndarray, layout: ChannelLayout) -> Dict[str, jnp.ndarray]
   return out
 
 
+def merge_permutation(a: ChannelLayout, b: ChannelLayout
+                      ) -> Tuple[ChannelLayout, np.ndarray]:
+  """Layout for the union of two disjoint variable sets plus the static
+  gather that maps concat([packed_a, packed_b], axis=-1) onto it.
+
+  Implements, as one static permutation, the reference's
+  `forcings.assign(noisy_targets)` + re-sorted re-stacking
+  (gencast/denoiser.py:184, 794-797).
+  """
+  if set(a.var_names) & set(b.var_names):
+    raise ValueError('merge requires disjoint variable sets')
+  if a.num_times != b.num_times:
+    raise ValueError('merge requires equal frame counts')
+  if a.pressure_levels != b.pressure_levels:
+    raise ValueError('merge requires identical level tables')
+  merged = build_layout(a.var_names + b.var_names, a.pressure_levels,
+                        a.num_times)
+  perm = np.empty(merged.num_channels, dtype=np.int32)
+  for c in range(merged.num_channels):
+    name = merged.var_names[merged.channel_var[c]]
+    src, offset = (a, 0) if name in a.var_names else (b, a.num_channels)
+    vi = src.var_names.index(name)
+    match = np.nonzero((src.channel_var == vi)
+                       & (src.channel_time == merged.channel_time[c])
+                       & (src.channel_level == merged.channel_level[c]))[0]
+    assert match.size == 1
+    perm[c] = offset + match[0]
+  return merged, perm
+
+
 # ---------------------------------------------------------------------------
 # Per-(variable, level) statistics -> per-channel vectors.
 # ---------------------------------------------------------------------------

@@ -119,9 +119,15 @@ def _sorted_edge_set(senders: np.ndarray, receivers: np.ndarray,
 
 
 def _khop_banded_mask(senders: np.ndarray, receivers: np.ndarray,
-                      num_nodes: int, k_hop: int) -> BandedMask:
+                      num_nodes: int, k_hop: int,
+                      block_size_multiple: int = 8) -> BandedMask:
   """k-hop reachability mask over the (already banded) mesh adjacency,
-  packed as tri-block-diagonal boolean blocks."""
+  packed as tri-block-diagonal boolean blocks.
+
+  block_size_multiple rounds the block size up for TPU tiling (sublane /
+  lane alignment for the Pallas kernel); correctness only needs
+  block_size > bandwidth.
+  """
   adj = sparse.csr_matrix(
       (np.ones_like(senders, dtype=bool), (senders, receivers)),
       shape=(num_nodes, num_nodes))
@@ -137,6 +143,7 @@ def _khop_banded_mask(senders: np.ndarray, receivers: np.ndarray,
   # Tri-block decomposition needs block_size > bandwidth so that every
   # nonzero lands in the diagonal / super- / sub-diagonal block.
   block_size = int(np.abs(coo.row - coo.col).max()) + 1
+  block_size = -(-block_size // block_size_multiple) * block_size_multiple
   num_pad = (-num_nodes) % block_size
   padded = num_nodes + num_pad
   num_blocks = padded // block_size
@@ -183,6 +190,7 @@ def build_graph_statics(
     radius_query_fraction_edge_length: float = 0.6,
     attention_k_hop: int = 16,
     build_attention_mask: bool = True,
+    block_size_multiple: int = 8,
     cache_dir: Optional[str] = None,
 ) -> GraphStatics:
   """Compiles all static graph structure for a (mesh, grid) pair.
@@ -206,7 +214,8 @@ def build_graph_statics(
     key = _cache_key(splits=mesh_splits, lat=grid_lat.tobytes(),
                      lon=grid_lon.tobytes(),
                      frac=radius_query_fraction_edge_length,
-                     k_hop=attention_k_hop, mask=build_attention_mask, v=1)
+                     k_hop=attention_k_hop, mask=build_attention_mask,
+                     bsm=block_size_multiple, v=2)
     cache_path = os.path.join(cache_dir, f'graph_{key}.pkl')
     if os.path.exists(cache_path):
       with open(cache_path, 'rb') as f:
@@ -248,7 +257,8 @@ def build_graph_statics(
   mask = None
   if build_attention_mask:
     mask = _khop_banded_mask(senders_m, receivers_m, mesh.num_vertices,
-                             attention_k_hop)
+                             attention_k_hop,
+                             block_size_multiple=block_size_multiple)
 
   statics = GraphStatics(
       mesh_vertices=mesh.vertices.astype(np.float32),

@@ -1,0 +1,218 @@
+"""Typed graph networks over static topologies.
+
+The TPU-first counterpart of the reference's typed_graph_net.py +
+deep_typed_graph_net.py: node/edge sets are plain dicts of [N, B, C] /
+[E, B, C] arrays, topology (sender/receiver indices) is static numpy fixed
+at construction, and aggregation is a sorted segment-sum. All MLP input
+widths are known statically from the graph compiler, so construction is
+eager — no lazy-init or dummy-channel machinery
+(cf. gencast/denoiser.py:479-491 in the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Mapping, Optional, Tuple
+
+import flax.nnx as nnx
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gencast_tpu.nn.mlp import MLP, CondMLP
+from gencast_tpu.ops import segment
+
+
+@dataclasses.dataclass(frozen=True)
+class EdgeTopology:
+  """Static structure of one directed edge set, receivers ascending."""
+  name: str
+  sender_set: str
+  receiver_set: str
+  senders: np.ndarray
+  receivers: np.ndarray
+
+  @property
+  def num_edges(self) -> int:
+    return self.senders.shape[0]
+
+
+def _activation(name: str) -> Callable:
+  if name == 'identity':
+    return lambda x: x
+  return getattr(jax.nn, name)
+
+
+NodeFeats = Dict[str, jnp.ndarray]   # set name -> [N, B, C]
+EdgeFeats = Dict[str, jnp.ndarray]   # edge set name -> [E, B, C]
+
+
+class InteractionNetwork(nnx.Module):
+  """One message-passing step: edge update then node update.
+
+  Edge update: MLP(concat[edge, sender_nodes[s], receiver_nodes[r]]).
+  Node update: MLP(concat[node, aggregated incoming messages per edge set]).
+  (Battaglia et al. Alg. 1 without globals; reference
+  common/typed_graph_net.py:238-326.)
+  """
+
+  def __init__(self, *,
+               topologies: List[EdgeTopology],
+               node_sizes: Mapping[str, int],
+               edge_sizes: Mapping[str, int],
+               num_nodes: Mapping[str, int],
+               mlp_hidden_size: int,
+               mlp_num_hidden_layers: int,
+               activation: Callable,
+               use_layer_norm: bool,
+               use_norm_conditioning: bool,
+               f32_aggregation: bool,
+               aggregate_normalization: Optional[float],
+               rngs: nnx.Rngs):
+    self.topologies = topologies
+    self.num_nodes = dict(num_nodes)
+    self.f32_aggregation = f32_aggregation
+    self.aggregate_normalization = aggregate_normalization
+
+    self.edge_mlps = nnx.Dict()
+    for topo in topologies:
+      in_size = (edge_sizes[topo.name] + node_sizes[topo.sender_set]
+                 + node_sizes[topo.receiver_set])
+      self.edge_mlps[topo.name] = CondMLP(
+          in_size, mlp_hidden_size, mlp_num_hidden_layers,
+          edge_sizes[topo.name], activation,
+          use_layer_norm=use_layer_norm,
+          use_norm_conditioning=use_norm_conditioning, rngs=rngs)
+
+    self.node_mlps = nnx.Dict()
+    for name, size in node_sizes.items():
+      in_size = size + sum(
+          edge_sizes[t.name] for t in topologies if t.receiver_set == name)
+      self.node_mlps[name] = CondMLP(
+          in_size, mlp_hidden_size, mlp_num_hidden_layers, size, activation,
+          use_layer_norm=use_layer_norm,
+          use_norm_conditioning=use_norm_conditioning, rngs=rngs)
+
+  def __call__(self, nodes: NodeFeats, edges: EdgeFeats,
+               cond: Optional[jnp.ndarray] = None
+               ) -> Tuple[NodeFeats, EdgeFeats]:
+    new_edges = {}
+    for topo in self.topologies:
+      sent = segment.gather(nodes[topo.sender_set], topo.senders)
+      received = segment.gather(nodes[topo.receiver_set], topo.receivers)
+      concat = jnp.concatenate([edges[topo.name], sent, received], axis=-1)
+      new_edges[topo.name] = self.edge_mlps[topo.name](concat, cond)
+
+    new_nodes = {}
+    for name, mlp in self.node_mlps.items():
+      parts = [nodes[name]]
+      for topo in self.topologies:
+        if topo.receiver_set == name:
+          parts.append(segment.sorted_segment_sum(
+              new_edges[topo.name], topo.receivers,
+              num_segments=self.num_nodes[name],
+              f32_accumulate=self.f32_aggregation,
+              normalization=self.aggregate_normalization))
+      new_nodes[name] = mlp(jnp.concatenate(parts, axis=-1), cond)
+    return new_nodes, new_edges
+
+
+class TypedGraphNet(nnx.Module):
+  """Encode-process-decode deep GNN over a static typed graph.
+
+  Embedder MLPs lift raw node/edge features to latents, N unshared (x M
+  shared repetitions) InteractionNetwork steps run with node+edge residual
+  connections, decoder MLPs (plain, no norm) project listed node sets to
+  outputs. Reference: common/deep_typed_graph_net.py:214-589.
+  """
+
+  def __init__(self, *,
+               topologies: List[EdgeTopology],
+               num_nodes: Mapping[str, int],
+               node_input_sizes: Mapping[str, int],
+               edge_input_sizes: Mapping[str, int],
+               node_latent_size: Mapping[str, int],
+               edge_latent_size: Mapping[str, int],
+               mlp_hidden_size: int,
+               mlp_num_hidden_layers: int = 1,
+               num_message_passing_steps: int = 1,
+               num_processor_repetitions: int = 1,
+               embed_nodes: bool = True,
+               embed_edges: bool = True,
+               node_output_sizes: Optional[Mapping[str, int]] = None,
+               activation: str = 'swish',
+               use_layer_norm: bool = True,
+               use_norm_conditioning: bool = True,
+               f32_aggregation: bool = False,
+               aggregate_normalization: Optional[float] = None,
+               rngs: nnx.Rngs):
+    act = _activation(activation)
+    self.num_processor_repetitions = num_processor_repetitions
+
+    # Uniform latent size is required by the concat-based updates.
+    self.node_latent_size = dict(node_latent_size)
+    self.edge_latent_size = dict(edge_latent_size)
+
+    self.node_embedders = nnx.Dict()
+    self._embedded_node_keys = ()
+    if embed_nodes:
+      self._embedded_node_keys = tuple(node_latent_size)
+      for name, latent in node_latent_size.items():
+        self.node_embedders[name] = CondMLP(
+            node_input_sizes[name], mlp_hidden_size, mlp_num_hidden_layers,
+            latent, act, use_layer_norm=use_layer_norm,
+            use_norm_conditioning=use_norm_conditioning, rngs=rngs)
+    self.edge_embedders = nnx.Dict()
+    self._embedded_edge_keys = ()
+    if embed_edges:
+      self._embedded_edge_keys = tuple(edge_latent_size)
+      for name, latent in edge_latent_size.items():
+        self.edge_embedders[name] = CondMLP(
+            edge_input_sizes[name], mlp_hidden_size, mlp_num_hidden_layers,
+            latent, act, use_layer_norm=use_layer_norm,
+            use_norm_conditioning=use_norm_conditioning, rngs=rngs)
+
+    self.processors = nnx.List([
+        InteractionNetwork(
+            topologies=topologies,
+            node_sizes=node_latent_size,
+            edge_sizes=edge_latent_size,
+            num_nodes=num_nodes,
+            mlp_hidden_size=mlp_hidden_size,
+            mlp_num_hidden_layers=mlp_num_hidden_layers,
+            activation=act,
+            use_layer_norm=use_layer_norm,
+            use_norm_conditioning=use_norm_conditioning,
+            f32_aggregation=f32_aggregation,
+            aggregate_normalization=aggregate_normalization,
+            rngs=rngs)
+        for _ in range(num_message_passing_steps)
+    ])
+
+    self.node_decoders = nnx.Dict()
+    self._decoded_node_keys = tuple(node_output_sizes or ())
+    for name, out in (node_output_sizes or {}).items():
+      self.node_decoders[name] = MLP(
+          node_latent_size[name], mlp_hidden_size, mlp_num_hidden_layers,
+          out, act, rngs=rngs)
+
+  def __call__(self, nodes: NodeFeats, edges: EdgeFeats,
+               cond: Optional[jnp.ndarray] = None
+               ) -> Tuple[NodeFeats, EdgeFeats]:
+    nodes = {k: (self.node_embedders[k](v, cond)
+                 if k in self._embedded_node_keys else v)
+             for k, v in nodes.items()}
+    edges = {k: (self.edge_embedders[k](v, cond)
+                 if k in self._embedded_edge_keys else v)
+             for k, v in edges.items()}
+
+    for _ in range(self.num_processor_repetitions):
+      for processor in self.processors:
+        upd_nodes, upd_edges = processor(nodes, edges, cond)
+        nodes = {k: nodes[k] + upd_nodes[k] for k in nodes}
+        edges = {k: edges[k] + upd_edges[k] for k in edges}
+
+    out_nodes = {k: (self.node_decoders[k](v)
+                     if k in self._decoded_node_keys else v)
+                 for k, v in nodes.items()}
+    return out_nodes, edges

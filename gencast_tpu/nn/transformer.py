@@ -1,0 +1,288 @@
+"""Banded sparse transformer over RCM-permuted mesh nodes.
+
+The mesh-node sequence is banded after the graph compiler's RCM permutation,
+so k-hop attention is exactly tri-block-diagonal: query block i attends to
+key/value blocks {i-1, i, i+1}. Backends:
+
+* 'triblock' — pure-XLA einsum implementation with a joint 3-block softmax;
+  the numerics oracle and CPU fallback (reference
+  gencast/sparse_transformer.py:100-125, 294-354).
+* 'dense'    — full masked attention for small meshes.
+* 'pallas'   — fused Pallas TPU kernel (gencast_tpu.ops.banded_attention).
+
+All backends share projections and weights, so the backend is a runtime
+performance choice, not an architecture change.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.nnx as nnx
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from gencast_tpu.graph.compiler import BandedMask
+from gencast_tpu.nn import precision
+from gencast_tpu.nn.mlp import FiLM
+from gencast_tpu.nn.variables import StaticData
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+  """Matches the reference's transformer hyperparameters
+  (gencast/sparse_transformer.py:32-81, SparseTransformerConfig defaults
+  gencast/denoiser.py:71-97)."""
+  d_model: int
+  num_layers: int = 16
+  num_heads: int = 4
+  ffw_hidden: int = 2048
+  attention_type: str = 'triblock'  # 'triblock' | 'dense' | 'pallas'
+  activation: str = 'gelu'
+  ffw_winit_mult: float = 2.0
+  ffw_winit_final_mult: float = 0.0
+  attn_winit_mult: float = 2.0
+  attn_winit_final_mult: float = 0.0
+  use_gradient_checkpointing: bool = False
+
+  @property
+  def head_dim(self) -> int:
+    if self.d_model % self.num_heads:
+      raise ValueError('num_heads must divide d_model')
+    return self.d_model // self.num_heads
+
+
+def _scaled_init(scale: float, num_layers: int):
+  return nnx.with_partitioning(
+      nnx.initializers.variance_scaling(scale / num_layers, 'fan_in',
+                                        'truncated_normal'),
+      P(None, 'model'))
+
+
+def _zeros_bias():
+  return nnx.with_partitioning(nnx.initializers.zeros_init(), P('model'))
+
+
+class _QKVProjections(nnx.Module):
+  """Shared q/k/v/out projections for all attention backends."""
+
+  def __init__(self, cfg: TransformerConfig, *, rngs: nnx.Rngs):
+    self.cfg = cfg
+    d, h, hd = cfg.d_model, cfg.num_heads, cfg.head_dim
+    proj_init = _scaled_init(cfg.attn_winit_mult, cfg.num_layers)
+    self.q = nnx.Linear(d, h * hd, kernel_init=proj_init, use_bias=False,
+                        rngs=rngs)
+    self.k = nnx.Linear(d, h * hd, kernel_init=proj_init, use_bias=False,
+                        rngs=rngs)
+    self.v = nnx.Linear(d, h * hd, kernel_init=proj_init, use_bias=False,
+                        rngs=rngs)
+    self.out = nnx.Linear(
+        h * hd, d,
+        kernel_init=_scaled_init(cfg.attn_winit_final_mult, cfg.num_layers),
+        bias_init=_zeros_bias(), rngs=rngs)
+
+  def split_heads(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    h, hd = self.cfg.num_heads, self.cfg.head_dim
+    def s(y):
+      return y.reshape(y.shape[:-1] + (h, hd))
+    return s(self.q(x)), s(self.k(x)), s(self.v(x))
+
+
+def _joint_softmax3(logits):
+  """Softmax over the union of diag/upper/lower key blocks, sharing one max
+  (reference gencast/sparse_transformer.py:100-125)."""
+  d, u, l = logits
+  m = jnp.max(jnp.stack([
+      jax.lax.stop_gradient(d.max(-1, keepdims=True)),
+      jax.lax.stop_gradient(u.max(-1, keepdims=True)),
+      jax.lax.stop_gradient(l.max(-1, keepdims=True))]), axis=0)
+  ed, eu, el = jnp.exp(d - m), jnp.exp(u - m), jnp.exp(l - m)
+  denom = (ed.sum(-1, keepdims=True) + eu.sum(-1, keepdims=True)
+           + el.sum(-1, keepdims=True))
+  return ed / denom, eu / denom, el / denom
+
+
+class TriblockAttention(nnx.Module):
+  """Tri-block-diagonal attention (XLA einsum path).
+
+  `mask_var` is a StaticData variable shared across all blocks of a
+  transformer so the [3, nb, bs, bs] mask lives once in HBM.
+  """
+
+  def __init__(self, cfg: TransformerConfig, mask_var: StaticData,
+               block_size: int, num_padding_nodes: int, *, rngs: nnx.Rngs):
+    self.cfg = cfg
+    self.proj = _QKVProjections(cfg, rngs=rngs)
+    self.mask = mask_var
+    self.block_size = block_size
+    self.num_padding_nodes = num_padding_nodes
+
+  def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    # x: [B, N, C] with N the real node count.
+    cfg = self.cfg
+    n = x.shape[1]
+    bs = self.block_size
+    x_p = jnp.pad(x, ((0, 0), (0, self.num_padding_nodes), (0, 0)))
+    nb = x_p.shape[1] // bs
+    x_b = x_p.reshape(x_p.shape[0], nb, bs, cfg.d_model)
+
+    q, k, v = self.proj.split_heads(x_b)  # [B, nb, bs, H, hd]
+    zero = lambda t: jnp.zeros_like(t[:, :1])
+    k = jnp.concatenate([zero(k), k, zero(k)], axis=1)
+    v = jnp.concatenate([zero(v), v, zero(v)], axis=1)
+
+    scale = cfg.head_dim ** -0.5
+    def qk(queries, keys):
+      return jnp.einsum('bnqhd,bnkhd->bnhqk', queries, keys) * scale
+
+    mask = self.mask[...]
+    neg = jnp.asarray(-1e30, dtype=q.dtype)
+    # Key blocks aligned with each query block: diag, upper (next), lower
+    # (previous); k/v were padded with one zero block on each side.
+    logits = tuple(
+        jnp.where(mask[i][None, :, None], qk(q, kk), neg)
+        for i, kk in ((0, k[:, 1:-1]), (1, k[:, 2:]), (2, k[:, :-2])))
+    wd, wu, wl = precision.with_f32(_joint_softmax3, logits)
+
+    def av(w, values):
+      return jnp.einsum('bnhqk,bnkhd->bnqhd', w, values)
+    o = (av(wd, v[:, 1:-1]) + av(wu, v[:, 2:]) + av(wl, v[:, :-2]))
+    o = o.reshape(o.shape[0], nb * bs, cfg.num_heads * cfg.head_dim)
+    return self.proj.out(o[:, :n])
+
+
+class DenseAttention(nnx.Module):
+  """Full masked attention; reference MHA path
+  (gencast/sparse_transformer.py:358-399)."""
+
+  def __init__(self, cfg: TransformerConfig, mask_var: StaticData, *,
+               rngs: nnx.Rngs):
+    self.cfg = cfg
+    self.proj = _QKVProjections(cfg, rngs=rngs)
+    self.mask = mask_var
+
+  def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    cfg = self.cfg
+    q, k, v = self.proj.split_heads(x)  # [B, N, H, hd]
+    logits = jnp.einsum('bthd,bThd->bhtT', q, k) * cfg.head_dim ** -0.5
+    logits = jnp.where(self.mask[...][None, None], logits,
+                       jnp.asarray(-1e30, logits.dtype))
+    weights = precision.with_f32(jax.nn.softmax, logits)
+    o = jnp.einsum('bhtT,bThd->bthd', weights, v)
+    o = o.reshape(o.shape[:2] + (cfg.num_heads * cfg.head_dim,))
+    return self.proj.out(o)
+
+
+class PallasBandedAttention(nnx.Module):
+  """Fused banded attention via the Pallas TPU kernel."""
+
+  def __init__(self, cfg: TransformerConfig, mask_var: StaticData,
+               block_size: int, num_padding_nodes: int, *, rngs: nnx.Rngs):
+    self.cfg = cfg
+    self.proj = _QKVProjections(cfg, rngs=rngs)
+    self.mask = mask_var
+    self.block_size = block_size
+    self.num_padding_nodes = num_padding_nodes
+
+  def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    from gencast_tpu.ops import banded_attention
+    cfg = self.cfg
+    n = x.shape[1]
+    x_p = jnp.pad(x, ((0, 0), (0, self.num_padding_nodes), (0, 0)))
+    q, k, v = self.proj.split_heads(x_p)  # [B, Np, H, hd]
+    o = banded_attention.banded_attention(
+        q, k, v, self.mask[...], self.block_size)
+    o = o.reshape(o.shape[0], o.shape[1], cfg.num_heads * cfg.head_dim)
+    return self.proj.out(o[:, :n])
+
+
+class FeedForward(nnx.Module):
+  def __init__(self, cfg: TransformerConfig, *, rngs: nnx.Rngs):
+    self.lin1 = nnx.Linear(
+        cfg.d_model, cfg.ffw_hidden,
+        kernel_init=_scaled_init(cfg.ffw_winit_mult, cfg.num_layers),
+        bias_init=_zeros_bias(), rngs=rngs)
+    self.lin2 = nnx.Linear(
+        cfg.ffw_hidden, cfg.d_model,
+        kernel_init=_scaled_init(cfg.ffw_winit_final_mult, cfg.num_layers),
+        bias_init=_zeros_bias(), rngs=rngs)
+    self.activation = getattr(jax.nn, cfg.activation)
+
+  def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    return self.lin2(self.activation(self.lin1(x)))
+
+
+class TransformerBlock(nnx.Module):
+  """Pre-LN block with FiLM noise conditioning on both sublayers."""
+
+  def __init__(self, cfg: TransformerConfig, attn: nnx.Module, *,
+               rngs: nnx.Rngs):
+    self.attn = attn
+    self.ffw = FeedForward(cfg, rngs=rngs)
+    self.ln1 = nnx.LayerNorm(cfg.d_model, use_scale=False, use_bias=False,
+                             rngs=rngs)
+    self.ln2 = nnx.LayerNorm(cfg.d_model, use_scale=False, use_bias=False,
+                             rngs=rngs)
+    self.film1 = FiLM(cfg.d_model, rngs=rngs)
+    self.film2 = FiLM(cfg.d_model, rngs=rngs)
+
+  def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+    # x: [B, N, C]; cond: [B, D].
+    c = cond[:, None, :]
+    x = x + self.attn(self.film1(self.ln1(x), c))
+    x = x + self.ffw(self.film2(self.ln2(x), c))
+    return x
+
+
+class MeshTransformer(nnx.Module):
+  """Stack of banded-attention blocks over mesh nodes.
+
+  Input/output layout [N, B, C] (nodes leading, matching the GNN stack);
+  transposed to batch-first internally.
+  """
+
+  def __init__(self, cfg: TransformerConfig,
+               mask: Optional[BandedMask],
+               dense_mask: Optional[np.ndarray] = None, *,
+               rngs: nnx.Rngs):
+    self.cfg = cfg
+
+    # One shared on-device mask for every block.
+    if cfg.attention_type == 'dense':
+      assert dense_mask is not None
+      mask_var = StaticData(jnp.asarray(dense_mask))
+    else:
+      assert mask is not None
+      mask_var = StaticData(jnp.asarray(mask.blocks))
+
+    def make_attn():
+      if cfg.attention_type == 'triblock':
+        return TriblockAttention(cfg, mask_var, mask.block_size,
+                                 mask.num_padding_nodes, rngs=rngs)
+      if cfg.attention_type == 'pallas':
+        return PallasBandedAttention(cfg, mask_var, mask.block_size,
+                                     mask.num_padding_nodes, rngs=rngs)
+      if cfg.attention_type == 'dense':
+        return DenseAttention(cfg, mask_var, rngs=rngs)
+      raise ValueError(f'unknown attention_type {cfg.attention_type}')
+
+    self.blocks = nnx.List()
+    for i in range(cfg.num_layers):
+      block = TransformerBlock(cfg, make_attn(), rngs=rngs)
+      if cfg.use_gradient_checkpointing and i % 2 == 0:
+        block = nnx.remat(block)
+      self.blocks.append(block)
+    self.final_ln = nnx.LayerNorm(cfg.d_model, use_scale=False,
+                                  use_bias=False, rngs=rngs)
+    self.final_film = FiLM(cfg.d_model, rngs=rngs)
+
+  def __call__(self, node_feats: jnp.ndarray,
+               cond: jnp.ndarray) -> jnp.ndarray:
+    x = jnp.transpose(node_feats, (1, 0, 2))  # [B, N, C]
+    for block in self.blocks:
+      x = block(x, cond)
+    x = self.final_film(self.final_ln(x), cond[:, None, :])
+    return jnp.transpose(x, (1, 0, 2))

@@ -1,0 +1,54 @@
+"""Ensemble-member parallelism for diffusion sampling.
+
+GenCast's signature scaling axis: independent samples of the same forecast.
+Members are a leading axis sharded over the mesh's 'ensemble' axis; member
+RNGs come from fold_in(key, member_id) (replacing the reference's pmap +
+per-device key split, common/rollout.py:78-202, 312-322).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.nnx as nnx
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def member_keys(key: jax.Array, num_members: int) -> jax.Array:
+  return jax.vmap(lambda i: jax.random.fold_in(key, i))(
+      jnp.arange(num_members))
+
+
+def ensemble_sample(model: nnx.Module,
+                    inputs: jnp.ndarray,
+                    forcings: jnp.ndarray,
+                    key: jax.Array,
+                    num_members: int,
+                    mesh: Optional[Mesh] = None) -> jnp.ndarray:
+  """Draws num_members independent samples: [M, B, lat, lon, C].
+
+  Under a mesh, the member axis is sharded over 'ensemble' — XLA partitions
+  the vmapped sampler so each device group runs its own members with zero
+  cross-member communication (the only collective is the final gather if the
+  caller reduces over members).
+  """
+  graphdef, state = nnx.split(model)
+  keys = member_keys(key, num_members)
+  if mesh is not None:
+    keys = jax.device_put(keys, NamedSharding(mesh, P('ensemble')))
+
+  @jax.jit
+  def run(state, inputs, forcings, keys):
+    def one(k):
+      m = nnx.merge(graphdef, state)
+      return m.sample(inputs, forcings, k)
+
+    out = jax.vmap(one)(keys)
+    if mesh is not None:
+      out = jax.lax.with_sharding_constraint(
+          out, NamedSharding(mesh, P('ensemble', 'data')))
+    return out
+
+  return run(state, inputs, forcings, keys)

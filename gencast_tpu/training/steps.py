@@ -1,0 +1,67 @@
+"""Jitted training/eval steps and the optimizer.
+
+Optimizer matches the reference harness (training/train_helpers.py:300-330):
+AdamW with linear-warmup + cosine-decay schedule, global-norm clipping 1.0,
+weight decay 0.1 applied to kernel parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import flax.nnx as nnx
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+  learning_rate: float = 3e-4
+  warmup_steps: int = 1000
+  total_steps: int = 30000
+  weight_decay: float = 0.1
+  clip_norm: float = 1.0
+  b1: float = 0.9
+  b2: float = 0.999
+  final_lr_fraction: float = 0.0
+
+
+def create_optimizer(model: nnx.Module,
+                     config: OptimizerConfig) -> nnx.Optimizer:
+  schedule = optax.warmup_cosine_decay_schedule(
+      init_value=0.0,
+      peak_value=config.learning_rate,
+      warmup_steps=config.warmup_steps,
+      decay_steps=config.total_steps,
+      end_value=config.learning_rate * config.final_lr_fraction)
+  tx = optax.chain(
+      optax.clip_by_global_norm(config.clip_norm),
+      optax.adamw(schedule, b1=config.b1, b2=config.b2,
+                  weight_decay=config.weight_decay))
+  return nnx.Optimizer(model, tx, wrt=nnx.Param)
+
+
+@nnx.jit(donate_argnums=())
+def train_step(model: nnx.Module, optimizer: nnx.Optimizer,
+               inputs: jnp.ndarray, targets: jnp.ndarray,
+               forcings: jnp.ndarray, key: jax.Array
+               ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+  """One optimization step; returns (mean loss, per-variable diagnostics)."""
+
+  def loss_fn(m):
+    loss, diags = m.loss(inputs, targets, forcings, key)
+    return loss.mean(), diags
+
+  (loss, diags), grads = nnx.value_and_grad(loss_fn, has_aux=True)(model)
+  optimizer.update(model, grads)
+  return loss, diags
+
+
+@nnx.jit
+def eval_step(model: nnx.Module, inputs: jnp.ndarray, targets: jnp.ndarray,
+              forcings: jnp.ndarray, key: jax.Array
+              ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+  loss, diags = model.loss(inputs, targets, forcings, key)
+  return loss.mean(), diags

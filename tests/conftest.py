@@ -1,12 +1,18 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set env vars before jax is imported anywhere in the test process.
+The axon TPU plugin registers itself in every Python process via
+sitecustomize and wins platform selection, so forcing CPU requires the jax
+config update, not just the env var. XLA_FLAGS must be set before the first
+backend initialization.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
   os.environ["XLA_FLAGS"] = (
       _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,107 @@
+"""Pallas banded attention vs the XLA triblock oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gencast_tpu.ops import banded_attention as ba
+
+
+def _reference(q, k, v, mask_blocks, bs):
+  """Dense masked attention oracle built from the tri-block mask."""
+  b, n, h, d = q.shape
+  nb = n // bs
+  dense = np.zeros((n, n), dtype=bool)
+  m = np.asarray(mask_blocks)
+  for j in range(nb):
+    dense[j*bs:(j+1)*bs, j*bs:(j+1)*bs] = m[0, j]
+    if j + 1 < nb:
+      dense[j*bs:(j+1)*bs, (j+1)*bs:(j+2)*bs] = m[1, j]
+      dense[(j+1)*bs:(j+2)*bs, j*bs:(j+1)*bs] = m[2, j + 1]
+  logits = jnp.einsum('bqhd,bkhd->bhqk', q, k) * d ** -0.5
+  logits = jnp.where(jnp.asarray(dense)[None, None], logits, -1e30)
+  w = jax.nn.softmax(logits, axis=-1)
+  return jnp.einsum('bhqk,bkhd->bqhd', w, v)
+
+
+def _random_mask(nb, bs, seed, density=0.6):
+  rng = np.random.default_rng(seed)
+  m = rng.random((3, nb, bs, bs)) < density
+  # self-attention always allowed (mesh has self-edges) -> rows never empty.
+  for j in range(nb):
+    np.fill_diagonal(m[0, j], True)
+  # boundary blocks outside the sequence are masked off.
+  m[1, nb - 1] = False
+  m[2, 0] = False
+  return m
+
+
+@pytest.mark.parametrize("nb,bs,h,d", [(4, 16, 2, 32), (3, 8, 1, 16)])
+def test_forward_matches_oracle(nb, bs, h, d):
+  n = nb * bs
+  key = jax.random.PRNGKey(0)
+  kq, kk, kv = jax.random.split(key, 3)
+  q = jax.random.normal(kq, (2, n, h, d))
+  k = jax.random.normal(kk, (2, n, h, d))
+  v = jax.random.normal(kv, (2, n, h, d))
+  mask = jnp.asarray(_random_mask(nb, bs, seed=1))
+
+  got = ba.banded_attention(q, k, v, mask, bs)
+  want = _reference(q, k, v, mask, bs)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=1e-5, rtol=1e-5)
+
+
+def test_gradients_match_oracle():
+  nb, bs, h, d = 3, 16, 2, 32
+  n = nb * bs
+  key = jax.random.PRNGKey(2)
+  kq, kk, kv, kg = jax.random.split(key, 4)
+  q = jax.random.normal(kq, (1, n, h, d))
+  k = jax.random.normal(kk, (1, n, h, d))
+  v = jax.random.normal(kv, (1, n, h, d))
+  cot = jax.random.normal(kg, (1, n, h, d))
+  mask = jnp.asarray(_random_mask(nb, bs, seed=3))
+
+  def f_pallas(q, k, v):
+    return (ba.banded_attention(q, k, v, mask, bs) * cot).sum()
+
+  def f_ref(q, k, v):
+    return (_reference(q, k, v, mask, bs) * cot).sum()
+
+  g_pallas = jax.grad(f_pallas, argnums=(0, 1, 2))(q, k, v)
+  g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+  for gp, gr, name in zip(g_pallas, g_ref, 'qkv'):
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               atol=2e-5, rtol=2e-5, err_msg=f'd{name}')
+
+
+def test_transformer_pallas_backend_matches_triblock():
+  """End-to-end: MeshTransformer with attention_type='pallas' equals
+  'triblock' with identical weights."""
+  import flax.nnx as nnx
+  from gencast_tpu.graph import compiler
+  from gencast_tpu.nn import transformer as tr
+
+  lat = np.arange(-90.0, 90.0 + 1e-6, 15.0, dtype=np.float32)
+  lon = np.arange(0.0, 360.0, 15.0, dtype=np.float32)
+  statics = compiler.build_graph_statics(2, lat, lon, attention_k_hop=4)
+
+  def cfg(attn):
+    return tr.TransformerConfig(d_model=32, num_layers=2, num_heads=2,
+                                ffw_hidden=64, attention_type=attn,
+                                ffw_winit_final_mult=1.0,
+                                attn_winit_final_mult=1.0)
+
+  tri = tr.MeshTransformer(cfg('triblock'), statics.attention_mask,
+                           rngs=nnx.Rngs(0))
+  pal = tr.MeshTransformer(cfg('pallas'), statics.attention_mask,
+                           rngs=nnx.Rngs(0))
+  n = statics.num_mesh_nodes
+  x = jax.random.normal(jax.random.PRNGKey(1), (n, 2, 32))
+  cond = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
+  out_t = tri(x, cond)
+  out_p = pal(x, cond)
+  np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_t),
+                             atol=2e-5, rtol=2e-5)

@@ -1,0 +1,144 @@
+"""End-to-end GenCast model tests on a tiny configuration."""
+
+import dataclasses
+
+import flax.nnx as nnx
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gencast_tpu.data import layout as L
+from gencast_tpu.data import registry
+from gencast_tpu.graph import compiler
+from gencast_tpu.models import gencast as gencast_lib
+from gencast_tpu.models import wrappers
+from gencast_tpu.models.denoiser import DenoiserConfig
+from gencast_tpu.nn.transformer import TransformerConfig
+
+TINY_TASK = registry.TaskSpec(
+    input_variables=('2m_temperature', 'temperature',
+                     'year_progress_sin', 'day_progress_sin',
+                     'land_sea_mask'),
+    target_variables=('2m_temperature', 'temperature'),
+    forcing_variables=('year_progress_sin', 'day_progress_sin'),
+    pressure_levels=(500, 1000),
+    num_input_frames=2,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+  lat = np.arange(-90.0, 90.0 + 1e-6, 30.0, dtype=np.float32)
+  lon = np.arange(0.0, 360.0, 30.0, dtype=np.float32)
+  statics = compiler.build_graph_statics(1, lat, lon, attention_k_hop=2)
+  transformer = TransformerConfig(d_model=32, num_layers=2, num_heads=2,
+                                  ffw_hidden=64)
+  model = gencast_lib.GenCast(
+      TINY_TASK, statics, transformer,
+      denoiser_config=dataclasses.replace(DenoiserConfig(), latent_size=32),
+      sampler_config=gencast_lib.SamplerConfig(num_noise_levels=3),
+      rngs=nnx.Rngs(0))
+  return statics, model
+
+
+def _data(statics, task, batch=2, seed=0):
+  rng = np.random.default_rng(seed)
+  nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
+  d = model_layouts = {}
+  inp = L.build_layout(task.input_variables, task.pressure_levels,
+                       task.num_input_frames)
+  tgt = L.build_layout(task.target_variables, task.pressure_levels, 1)
+  frc = L.build_layout(task.forcing_variables, task.pressure_levels, 1)
+  def r(shape):
+    return jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
+  return (r((batch, nlat, nlon, inp.num_channels)),
+          r((batch, nlat, nlon, tgt.num_channels)),
+          r((batch, nlat, nlon, frc.num_channels)))
+
+
+def test_loss_and_gradients(setup):
+  statics, model = setup
+  inputs, targets, forcings = _data(statics, TINY_TASK)
+
+  def loss_fn(m):
+    loss, _ = m.loss(inputs, targets, forcings, jax.random.PRNGKey(0))
+    return loss.mean()
+
+  loss, grads = nnx.value_and_grad(loss_fn)(model)
+  assert np.isfinite(float(loss))
+  leaves = jax.tree_util.tree_leaves(grads)
+  assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+  # FiLM conditioning must receive gradient (noise conditioning is live).
+  flat = nnx.state(grads, nnx.Param).flat_state()
+  film_grads = [v.value for k, v in flat if 'film' in '/'.join(map(str, k))]
+  assert film_grads and any(float(jnp.abs(g).max()) > 0 for g in film_grads)
+
+
+def test_denoiser_deterministic(setup):
+  statics, model = setup
+  inputs, targets, forcings = _data(statics, TINY_TASK)
+  sigma = jnp.ones((2,))
+  out1 = model(inputs, targets, sigma, forcings)
+  out2 = model(inputs, targets, sigma, forcings)
+  np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+  assert out1.shape == targets.shape
+
+
+def test_sample_shape_and_determinism(setup):
+  statics, model = setup
+  inputs, _, forcings = _data(statics, TINY_TASK)
+  key = jax.random.PRNGKey(7)
+  s1 = model.sample(inputs, forcings, key)
+  s2 = model.sample(inputs, forcings, key)
+  assert s1.shape == (2, statics.grid_lat.shape[0],
+                      statics.grid_lon.shape[0],
+                      model.target_layout.num_channels)
+  np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+  s3 = model.sample(inputs, forcings, jax.random.PRNGKey(8))
+  assert np.abs(np.asarray(s1 - s3)).max() > 1e-6
+
+
+def test_wrapped_model_loss_and_sample(setup):
+  statics, model = setup
+  stats = L.Stats(
+      mean={'2m_temperature': np.asarray(1.5),
+            'temperature': np.asarray([1.0, 2.0])},
+      std={'2m_temperature': np.asarray(2.0),
+           'temperature': np.asarray([3.0, 4.0])},
+      diffs_std={'2m_temperature': np.asarray(0.5),
+                 'temperature': np.asarray([0.7, 0.9])})
+  wrapped = wrappers.InputsAndResiduals(
+      wrappers.NaNCleaner(model, '2m_temperature', fill_value=1.5), stats)
+  inputs, targets, forcings = _data(statics, TINY_TASK)
+  # Inject NaNs into the cleaned variable.
+  inputs = inputs.at[0, 0, 0, 0].set(jnp.nan)
+  loss, diags = wrapped.loss(inputs, targets, forcings, jax.random.PRNGKey(1))
+  assert loss.shape == (2,)
+  assert np.isfinite(np.asarray(loss)).all()
+  assert set(diags) == {'2m_temperature', 'temperature'}
+
+  sample = wrapped.sample(inputs, forcings, jax.random.PRNGKey(2))
+  assert sample.shape == targets.shape
+  assert np.isfinite(np.asarray(sample)).all()
+
+
+def test_residual_normalization_roundtrip(setup):
+  statics, model = setup
+  stats = L.Stats(
+      mean={'2m_temperature': np.asarray(1.5),
+            'temperature': np.asarray([1.0, 2.0])},
+      std={'2m_temperature': np.asarray(2.0),
+           'temperature': np.asarray([3.0, 4.0])},
+      diffs_std={'2m_temperature': np.asarray(0.5),
+                 'temperature': np.asarray([0.7, 0.9])})
+  w = wrappers.InputsAndResiduals(model, stats)
+  inputs, targets, _ = _data(statics, TINY_TASK)
+  norm = w._norm_targets(inputs, targets)
+  back = w._unnorm_predictions(inputs, norm)
+  np.testing.assert_allclose(np.asarray(back), np.asarray(targets),
+                             rtol=1e-5, atol=1e-5)
+  # Residual semantics: normalized target of the last-input-frame copy is 0.
+  base = w._residual_base(inputs)
+  zero = w._norm_targets(inputs, base)
+  np.testing.assert_allclose(np.asarray(zero), 0.0, atol=1e-6)
