@@ -258,6 +258,67 @@ def residual_channel_map(target_layout: ChannelLayout,
   return out
 
 
+@dataclasses.dataclass(frozen=True)
+class RolloutMaps:
+  """Static channel maps for autoregressive frame composition.
+
+  For each input channel, `source` says where its value comes from when
+  advancing one step (dropping the oldest frame, appending the new one):
+    0 = shift: from input channel `index` (same var, next frame)
+    1 = prediction: from target channel `index`
+    2 = forcing: from forcing channel `index` (new-frame forcings)
+    3 = keep: static variable, value unchanged
+  """
+  source: np.ndarray  # [C_in] int32 in {0,1,2,3}
+  index: np.ndarray   # [C_in] int32
+
+
+def rollout_maps(inputs: ChannelLayout, targets: ChannelLayout,
+                 forcings: ChannelLayout) -> RolloutMaps:
+  """Builds the frame-advance maps (the packed-array equivalent of the
+  reference's host-side `_compose_next_frame`,
+  training/train_helpers.py:485-547)."""
+  last_t = inputs.num_times - 1
+  source = np.full(inputs.num_channels, -1, dtype=np.int32)
+  index = np.zeros(inputs.num_channels, dtype=np.int32)
+
+  def find(lay: ChannelLayout, name: str, t: int, lvl: int) -> int:
+    if name not in lay.var_names:
+      return -1
+    vi = lay.var_names.index(name)
+    m = np.nonzero((lay.channel_var == vi) & (lay.channel_time == t)
+                   & (lay.channel_level == lvl))[0]
+    return int(m[0]) if m.size else -1
+
+  for c in range(inputs.num_channels):
+    name = inputs.var_names[inputs.channel_var[c]]
+    t = inputs.channel_time[c]
+    lvl = inputs.channel_level[c]
+    if registry.is_static(name):
+      source[c] = 3
+      continue
+    if t < last_t:
+      source[c] = 0
+      index[c] = find(inputs, name, t + 1, lvl)
+      assert index[c] >= 0
+      continue
+    # Newest frame: predicted target or new-frame forcing.
+    p = find(targets, name, 0, lvl)
+    if p >= 0:
+      source[c] = 1
+      index[c] = p
+      continue
+    f = find(forcings, name, 0, lvl)
+    if f >= 0:
+      source[c] = 2
+      index[c] = f
+      continue
+    raise ValueError(
+        f'input variable {name} is neither predicted nor a forcing; '
+        'cannot advance the rollout window')
+  return RolloutMaps(source=source, index=index)
+
+
 def loss_channel_weights(
     layout: ChannelLayout,
     per_variable_weights: Mapping[str, float],

@@ -1,0 +1,107 @@
+"""Fused autoregressive rollout: one lax.scan over forecast steps.
+
+The reference rolls out with a Python loop that round-trips xarray frame
+composition through the host every step (training/train_helpers.py:399-638).
+Here the whole K-step forecast — including the diffusion sampler's inner
+scan and the frame-window advance — is a single jitted scan with donated
+carry; forcings for all lead times are precomputed as one tensor.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import flax.nnx as nnx
+import jax
+import jax.numpy as jnp
+
+from gencast_tpu.data import layout as layout_lib
+
+PredictFn = Callable[[jnp.ndarray, jnp.ndarray, jax.Array], jnp.ndarray]
+
+
+def advance_inputs(inputs: jnp.ndarray, predictions: jnp.ndarray,
+                   step_forcings: jnp.ndarray,
+                   maps: layout_lib.RolloutMaps) -> jnp.ndarray:
+  """Drops the oldest frame and appends the new one, entirely on device.
+
+  inputs [B, lat, lon, C_in]; predictions [B, lat, lon, C_tgt];
+  step_forcings [B, lat, lon, C_frc] (values at the newly predicted time).
+  """
+  src = jnp.asarray(maps.source)
+  idx = jnp.asarray(maps.index)
+  shifted = jnp.take(inputs, idx, axis=-1)
+  from_pred = jnp.take(predictions, idx, axis=-1)
+  from_forc = jnp.take(step_forcings, idx, axis=-1)
+  out = jnp.where(src == 0, shifted,
+                  jnp.where(src == 1, from_pred,
+                            jnp.where(src == 2, from_forc, inputs)))
+  return out
+
+
+def rollout(predict_fn: PredictFn,
+            inputs: jnp.ndarray,          # [B, lat, lon, C_in]
+            forcings: jnp.ndarray,        # [K, B, lat, lon, C_frc]
+            maps: layout_lib.RolloutMaps,
+            key: jax.Array,
+            teacher_targets: Optional[jnp.ndarray] = None,  # [K, B, ...]
+            ) -> jnp.ndarray:
+  """K autoregressive steps; returns predictions [K, B, lat, lon, C_tgt].
+
+  With teacher_targets, the window advances with ground truth instead of
+  the model's own predictions (teacher forcing, as in the reference's
+  evaluation loop) while still returning the model predictions.
+  """
+  num_steps = forcings.shape[0]
+  step_keys = jax.random.split(key, num_steps)
+
+  if teacher_targets is None:
+    xs = (forcings, step_keys)
+
+    def body(carry, x):
+      frc, k = x
+      preds = predict_fn(carry, frc, k)
+      return advance_inputs(carry, preds, frc, maps), preds
+  else:
+    xs = (forcings, step_keys, teacher_targets)
+
+    def body(carry, x):
+      frc, k, truth = x
+      preds = predict_fn(carry, frc, k)
+      return advance_inputs(carry, truth, frc, maps), preds
+
+  _, predictions = jax.lax.scan(body, inputs, xs)
+  return predictions
+
+
+def sample_rollout(model: nnx.Module,
+                   inputs: jnp.ndarray,
+                   forcings: jnp.ndarray,
+                   key: jax.Array,
+                   teacher_targets: Optional[jnp.ndarray] = None,
+                   jit: bool = True) -> jnp.ndarray:
+  """Diffusion-sampled AR rollout for a (wrapped) GenCast model.
+
+  `model` must expose .sample(inputs, forcings, key) in raw (unnormalized)
+  space — e.g. InputsAndResiduals(NaNCleaner(GenCast)).
+  """
+  d = model
+  while not hasattr(d, 'input_layout'):
+    d = d.denoiser if hasattr(d, 'denoiser') else d.predictor
+  maps = layout_lib.rollout_maps(d.input_layout, d.target_layout,
+                                 d.forcing_layout)
+  graphdef, state = nnx.split(model)
+
+  def run(state, inputs, forcings, key, teacher_targets):
+    m = nnx.merge(graphdef, state)
+
+    def predict(x, frc, k):
+      return m.sample(x, frc, k)
+
+    return rollout(predict, inputs, forcings, maps, key,
+                   teacher_targets=teacher_targets)
+
+  if jit:
+    run = jax.jit(run)
+  return run(state, inputs, forcings, key, teacher_targets)

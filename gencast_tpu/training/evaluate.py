@@ -1,0 +1,148 @@
+"""Evaluation CLI: restore a checkpoint, run an AR rollout, score and plot.
+
+Equivalent of the reference's training/evaluation.py: rebuilds the model
+from flags, restores the checkpoint (no ad-hoc state cleaning needed — the
+checkpoint schema matches construction exactly), runs a (teacher-forced or
+free-running) autoregressive rollout, and writes per-variable RMSE, packed
+.npz outputs, PNG triptychs and a GIF.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict
+
+import numpy as np
+
+
+def parse_args(argv=None):
+  p = argparse.ArgumentParser(description='Evaluate GenCast (TPU-native).')
+  p.add_argument('--preset', default='nano',
+                 choices=['tiny', 'nano', '1deg', '0.25deg'])
+  p.add_argument('--data', default='synthetic')
+  p.add_argument('--ckpt_dir', default=None, required=False)
+  p.add_argument('--out_dir', default='/tmp/gencast_eval')
+  p.add_argument('--max_rollout_steps', type=int, default=4)
+  p.add_argument('--num_members', type=int, default=1)
+  p.add_argument('--teacher_forcing', action='store_true')
+  p.add_argument('--plot_vars', nargs='*',
+                 default=['2m_temperature'])
+  p.add_argument('--seed', type=int, default=0)
+  p.add_argument('--no_normalization', action='store_true')
+  p.add_argument('--clean_sst_nans', action='store_true')
+  p.add_argument('--stats_path', default=None)
+  # Architecture overrides, mirroring train.py.
+  p.add_argument('--mesh_size', type=int, default=None)
+  p.add_argument('--d_model', type=int, default=None)
+  p.add_argument('--num_layers', type=int, default=None)
+  p.add_argument('--num_heads', type=int, default=None)
+  p.add_argument('--attention_k_hop', type=int, default=None)
+  p.add_argument('--attention_type', default=None)
+  return p.parse_args(argv)
+
+
+def per_variable_rmse(preds: np.ndarray, truth: np.ndarray,
+                      layout) -> Dict[str, float]:
+  out = {}
+  for name in layout.var_names:
+    ch = layout.var_channels(name)
+    d = preds[..., ch] - truth[..., ch]
+    out[name] = float(np.sqrt(np.nanmean(d ** 2)))
+  return out
+
+
+def main(argv=None):
+  args = parse_args(argv)
+
+  import flax.nnx as nnx
+  import jax
+  import jax.numpy as jnp
+
+  from gencast_tpu import configs, rollout as rollout_lib
+  from gencast_tpu.data import sources
+  from gencast_tpu.models import wrappers
+  from gencast_tpu.training import checkpoint as ckpt_lib
+  from gencast_tpu.training import plotting
+  from gencast_tpu.training.train import build_spec
+
+  spec = build_spec(args)
+  model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(args.seed))
+
+  if args.data == 'synthetic':
+    source = sources.SyntheticSource(
+        spec.task, statics.grid_lat, statics.grid_lon,
+        num_times=args.max_rollout_steps + spec.task.num_input_frames + 2,
+        seed=args.seed + 1)
+  else:
+    source = sources.Era5NpzSource(args.data, spec.task)
+
+  if args.stats_path and os.path.exists(args.stats_path):
+    stats = sources.load_stats(args.stats_path)
+  else:
+    stats = sources.compute_stats(source)
+
+  wrapped = model
+  if args.clean_sst_nans and \
+      'sea_surface_temperature' in spec.task.input_variables:
+    fill = float(np.asarray(stats.mean['sea_surface_temperature']))
+    wrapped = wrappers.NaNCleaner(wrapped, 'sea_surface_temperature', fill)
+  if not args.no_normalization:
+    wrapped = wrappers.InputsAndResiduals(wrapped, stats)
+
+  if args.ckpt_dir:
+    manager = ckpt_lib.create_manager(args.ckpt_dir)
+    step = ckpt_lib.restore(manager, wrapped)
+    print(f'[eval] restored checkpoint step {step}')
+  else:
+    print('[eval] WARNING: no checkpoint, evaluating untrained weights')
+
+  k = args.max_rollout_steps
+  w = source.sample(0, num_target_frames=k)
+  inputs = jnp.asarray(w.inputs)[None]
+  forcings = jnp.asarray(w.forcings)[:, None]      # [K, B=1, ...]
+  truth = np.asarray(w.targets)                    # [K, lat, lon, C]
+  teacher = (jnp.asarray(w.targets)[:, None] if args.teacher_forcing
+             else None)
+
+  key = jax.random.PRNGKey(args.seed)
+  members = []
+  for m in range(args.num_members):
+    preds = rollout_lib.sample_rollout(
+        wrapped, inputs, forcings, jax.random.fold_in(key, m),
+        teacher_targets=teacher)
+    members.append(np.asarray(preds[:, 0]))  # [K, lat, lon, C]
+  preds = np.stack(members)                  # [M, K, lat, lon, C]
+  ens_mean = preds.mean(axis=0)
+
+  d = model.denoiser
+  rmse = per_variable_rmse(ens_mean, truth, d.target_layout)
+  os.makedirs(args.out_dir, exist_ok=True)
+  with open(os.path.join(args.out_dir, 'metrics.json'), 'w') as f:
+    json.dump({'rmse': rmse, 'steps': k,
+               'members': args.num_members}, f, indent=2)
+  print('[eval] per-variable RMSE:')
+  for name, v in rmse.items():
+    print(f'  {name}: {v:.4f}')
+
+  np.savez(os.path.join(args.out_dir, 'rollout.npz'),
+           predictions=preds, truth=truth,
+           lat=statics.grid_lat, lon=statics.grid_lon)
+
+  for var in args.plot_vars:
+    if var not in d.target_layout.var_names:
+      continue
+    ch = d.target_layout.var_channels(var)[0]
+    plotting.plot_triptych(
+        ens_mean[-1, :, :, ch], truth[-1, :, :, ch],
+        statics.grid_lat, statics.grid_lon, var,
+        os.path.join(args.out_dir, f'triptych_{var}.png'))
+    plotting.rollout_gif(
+        ens_mean[:, :, :, ch], statics.grid_lat, statics.grid_lon, var,
+        os.path.join(args.out_dir, f'rollout_{var}.gif'))
+  print(f'[eval] outputs written to {args.out_dir}')
+
+
+if __name__ == '__main__':
+  main()

@@ -30,10 +30,11 @@ class OptimizerConfig:
 
 def create_optimizer(model: nnx.Module,
                      config: OptimizerConfig) -> nnx.Optimizer:
+  warmup = min(config.warmup_steps, max(1, config.total_steps // 10))
   schedule = optax.warmup_cosine_decay_schedule(
       init_value=0.0,
       peak_value=config.learning_rate,
-      warmup_steps=config.warmup_steps,
+      warmup_steps=warmup,
       decay_steps=config.total_steps,
       end_value=config.learning_rate * config.final_lr_fraction)
   tx = optax.chain(

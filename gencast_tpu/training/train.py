@@ -1,0 +1,218 @@
+"""Training CLI.
+
+Feature parity with the reference harness (training/train.py) plus:
+optimizer-state checkpointing with mid-run resume, a synthetic data mode
+(no ERA5 download needed), and jax.profiler hooks.
+
+Examples:
+  # Smoke-train a tiny model on synthetic data (CPU-friendly):
+  python -m gencast_tpu.training.train --preset tiny --steps 20 --data synthetic
+
+  # Nano-GenCast (reference demo config) on one TPU chip:
+  python -m gencast_tpu.training.train --preset nano --steps 30000 \
+      --data /path/to/era5_npz --ckpt_dir /tmp/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def parse_args(argv=None):
+  p = argparse.ArgumentParser(description='Train GenCast (TPU-native).')
+  p.add_argument('--preset', default='nano',
+                 choices=['tiny', 'nano', '1deg', '0.25deg'])
+  p.add_argument('--data', default='synthetic',
+                 help="'synthetic' or a directory of era5 npz shards")
+  p.add_argument('--steps', type=int, default=30000)
+  p.add_argument('--batch_size', type=int, default=1)
+  p.add_argument('--learning_rate', type=float, default=3e-4)
+  p.add_argument('--warmup_steps', type=int, default=1000)
+  p.add_argument('--weight_decay', type=float, default=0.1)
+  p.add_argument('--seed', type=int, default=0)
+  # Architecture overrides (None -> preset value).
+  p.add_argument('--mesh_size', type=int, default=None)
+  p.add_argument('--d_model', type=int, default=None)
+  p.add_argument('--num_layers', type=int, default=None)
+  p.add_argument('--num_heads', type=int, default=None)
+  p.add_argument('--attention_k_hop', type=int, default=None)
+  p.add_argument('--attention_type', default=None,
+                 choices=[None, 'triblock', 'dense', 'pallas'])
+  # Wrappers.
+  p.add_argument('--no_normalization', action='store_true',
+                 help='skip the InputsAndResiduals wrapper')
+  p.add_argument('--clean_sst_nans', action='store_true')
+  # Checkpointing / eval / logging.
+  p.add_argument('--ckpt_dir', default=None)
+  p.add_argument('--save_every', type=int, default=500)
+  p.add_argument('--eval_every', type=int, default=500)
+  p.add_argument('--do_sampling_eval', action='store_true')
+  p.add_argument('--log_every', type=int, default=10)
+  p.add_argument('--profile_dir', default=None,
+                 help='capture a jax.profiler trace of steps 10-15 here')
+  p.add_argument('--stats_path', default=None,
+                 help='npz normalization stats (default: compute from data)')
+  # Parallelism (data axis; model/ensemble used by larger deployments).
+  p.add_argument('--dp', type=int, default=1)
+  p.add_argument('--mp', type=int, default=1)
+  return p.parse_args(argv)
+
+
+def build_spec(args):
+  from gencast_tpu import configs
+  from gencast_tpu.data import registry
+  if args.preset == 'tiny':
+    spec = configs.ModelSpec(
+        name='tiny', task=registry.GENCAST_TASK, resolution_deg=10.0,
+        mesh_splits=2, d_model=64, num_layers=2, num_heads=2,
+        attention_k_hop=4, ffw_hidden=128)
+  else:
+    spec = configs.SPECS[args.preset]
+  overrides = {}
+  if args.mesh_size is not None:
+    overrides['mesh_splits'] = args.mesh_size
+  for field in ('d_model', 'num_layers', 'num_heads', 'attention_k_hop',
+                'attention_type'):
+    v = getattr(args, field)
+    if v is not None:
+      overrides[field] = v
+  return dataclasses.replace(spec, **overrides) if overrides else spec
+
+
+def main(argv=None):
+  args = parse_args(argv)
+
+  import flax.nnx as nnx
+  import jax
+  import jax.numpy as jnp
+
+  from gencast_tpu import configs
+  from gencast_tpu.data import sources
+  from gencast_tpu.models import wrappers
+  from gencast_tpu.parallel import meshes
+  from gencast_tpu.training import checkpoint as ckpt_lib
+  from gencast_tpu.training import steps as steps_lib
+  from gencast_tpu import rollout as rollout_lib
+
+  spec = build_spec(args)
+  print(f'[train] spec={spec.name} mesh_splits={spec.mesh_splits} '
+        f'd_model={spec.d_model} layers={spec.num_layers} '
+        f'attention={spec.attention_type}')
+
+  model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(args.seed))
+
+  # Data.
+  if args.data == 'synthetic':
+    source = sources.SyntheticSource(spec.task, statics.grid_lat,
+                                     statics.grid_lon,
+                                     num_times=max(40, args.batch_size * 8),
+                                     seed=args.seed)
+  else:
+    source = sources.Era5NpzSource(args.data, spec.task)
+  print(f'[train] data source: {type(source).__name__}, '
+        f'{len(source)} samples')
+
+  # Normalization stats.
+  if args.stats_path and os.path.exists(args.stats_path):
+    stats = sources.load_stats(args.stats_path)
+    print(f'[train] loaded stats from {args.stats_path}')
+  else:
+    stats = sources.compute_stats(source)
+    if args.stats_path:
+      sources.save_stats(stats, args.stats_path)
+      print(f'[train] computed and saved stats to {args.stats_path}')
+
+  # Wrapper stack (reference: NaNCleaner inside, InputsAndResiduals outside).
+  wrapped = model
+  if args.clean_sst_nans and \
+      'sea_surface_temperature' in spec.task.input_variables:
+    fill = float(np.asarray(stats.mean['sea_surface_temperature']))
+    wrapped = wrappers.NaNCleaner(wrapped, 'sea_surface_temperature', fill)
+  if not args.no_normalization:
+    wrapped = wrappers.InputsAndResiduals(wrapped, stats)
+
+  # Parallelism.
+  mesh = None
+  if args.dp * args.mp > 1:
+    mesh = meshes.make_mesh(1, args.dp, args.mp)
+    meshes.shard_model(wrapped, mesh)
+    print(f'[train] mesh: data={args.dp} model={args.mp}')
+
+  opt_cfg = steps_lib.OptimizerConfig(
+      learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
+      total_steps=args.steps, weight_decay=args.weight_decay)
+  optimizer = steps_lib.create_optimizer(wrapped, opt_cfg)
+
+  # Resume.
+  start_step = 0
+  manager = None
+  if args.ckpt_dir:
+    manager = ckpt_lib.create_manager(args.ckpt_dir)
+    if ckpt_lib.latest_step(manager) is not None:
+      start_step = ckpt_lib.restore(manager, wrapped, optimizer) + 1
+      print(f'[train] resumed from step {start_step - 1}')
+
+  it = sources.batch_iterator(source, args.batch_size, seed=args.seed)
+  key = jax.random.PRNGKey(args.seed)
+
+  def put(batch):
+    arrs = {k: jnp.asarray(v) for k, v in batch.items()}
+    if mesh is not None:
+      sh = meshes.batch_sharding(mesh)
+      arrs = {k: jax.device_put(v, sh) for k, v in arrs.items()}
+    return arrs
+
+  t_log = time.time()
+  losses = []
+  for step in range(start_step, args.steps):
+    if args.profile_dir and step == 10:
+      jax.profiler.start_trace(args.profile_dir)
+    batch = put(next(it))
+    step_key = jax.random.fold_in(key, step)
+    loss, diags = steps_lib.train_step(
+        wrapped, optimizer, batch['inputs'], batch['targets'],
+        batch['forcings'], step_key)
+    losses.append(loss)
+    if args.profile_dir and step == 15:
+      jax.block_until_ready(loss)
+      jax.profiler.stop_trace()
+      print(f'[train] profiler trace written to {args.profile_dir}')
+
+    if (step + 1) % args.log_every == 0:
+      jax.block_until_ready(loss)
+      dt = time.time() - t_log
+      mean_loss = float(jnp.stack(losses).mean())
+      print(f'[train] step {step + 1}/{args.steps} '
+            f'loss={mean_loss:.4f} {args.log_every / dt:.2f} steps/s')
+      losses = []
+      t_log = time.time()
+
+    if manager is not None and (step + 1) % args.save_every == 0:
+      ckpt_lib.save(manager, step, wrapped, optimizer)
+
+    if args.do_sampling_eval and (step + 1) % args.eval_every == 0:
+      w = source.sample(0)
+      frc = jnp.asarray(w.forcings)[None][None]  # [K=1, B=1, ...]
+      preds = rollout_lib.sample_rollout(
+          wrapped, jnp.asarray(w.inputs)[None], frc,
+          jax.random.fold_in(key, 10**9 + step))
+      rmse = float(jnp.sqrt(jnp.nanmean(
+          (preds[0, 0] - jnp.asarray(w.targets)) ** 2)))
+      print(f'[train] sampling eval rmse={rmse:.4f}')
+
+  if manager is not None:
+    ckpt_lib.save(manager, args.steps - 1, wrapped, optimizer)
+    manager.wait_until_finished()
+    print(f'[train] final checkpoint at {args.ckpt_dir}')
+  print('[train] done')
+
+
+if __name__ == '__main__':
+  main()
