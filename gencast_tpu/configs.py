@@ -88,6 +88,37 @@ def build_statics(spec: ModelSpec,
       cache_dir=cache_dir)
 
 
+def build_graphcast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
+                    statics: Optional[compiler.GraphStatics] = None,
+                    cache_dir: Optional[str] = DEFAULT_CACHE_DIR):
+  """Builds a GraphCast deterministic model from a ModelSpec.
+
+  The spec's task is converted to the GraphCast variable set (adds
+  precipitation + TISR forcing) keeping its pressure levels; num_layers is
+  interpreted as gnn_msg_steps (reference default 16).
+  """
+  from gencast_tpu.models.graphcast import GraphCast, GraphCastConfig
+  task = dataclasses.replace(registry.GRAPHCAST_TASK_13,
+                             pressure_levels=spec.task.pressure_levels)
+  spec = dataclasses.replace(spec, task=task)
+  if statics is None:
+    lat, lon = grid_for_resolution(spec.resolution_deg)
+    statics = compiler.build_graph_statics(
+        spec.mesh_splits, lat, lon,
+        radius_query_fraction_edge_length=(
+            spec.radius_query_fraction_edge_length),
+        build_attention_mask=False,
+        build_multimesh=True,
+        cache_dir=cache_dir)
+  model = GraphCast(
+      task, statics,
+      GraphCastConfig(latent_size=spec.d_model,
+                      gnn_msg_steps=spec.num_layers,
+                      hidden_layers=spec.hidden_layers),
+      rngs=rngs if rngs is not None else nnx.Rngs(0))
+  return model, statics
+
+
 def build_gencast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
                   statics: Optional[compiler.GraphStatics] = None,
                   cache_dir: Optional[str] = DEFAULT_CACHE_DIR

@@ -189,15 +189,17 @@ class SyntheticSource(WindowedSource):
     base = {'2m_temperature': 285.0, 'mean_sea_level_pressure': 101000.0,
             '10m_u_component_of_wind': 0.0, '10m_v_component_of_wind': 0.0,
             'sea_surface_temperature': 290.0,
-            'total_precipitation_12hr': 0.001}
+            'total_precipitation_12hr': 0.001,
+            'total_precipitation_6hr': 0.0005}
     scale = {'2m_temperature': 20.0, 'mean_sea_level_pressure': 2000.0,
              '10m_u_component_of_wind': 5.0, '10m_v_component_of_wind': 5.0,
              'sea_surface_temperature': 10.0,
-             'total_precipitation_12hr': 0.002}
+             'total_precipitation_12hr': 0.002,
+             'total_precipitation_6hr': 0.001}
     b = base.get(name, 0.0)
     s = scale.get(name, 1.0)
     out = b + s * (0.6 * latf + 0.3 * season + 0.4 * noise)
-    if name == 'total_precipitation_12hr':
+    if name.startswith('total_precipitation'):
       out = np.maximum(out - b, 0.0)
     if name == 'sea_surface_temperature':
       lsm = self.field('land_sea_mask', times)

@@ -77,11 +77,14 @@ class GraphStatics:
   grid_node_features: np.ndarray  # [G, 3], G = num_lat * num_lon
   # Edge sets.
   grid2mesh: EdgeSet             # senders: grid, receivers: mesh
-  mesh_edges: EdgeSet            # senders/receivers: mesh
+  mesh_edges: EdgeSet            # senders/receivers: mesh (finest level)
   mesh2grid: EdgeSet             # senders: mesh, receivers: grid
   # Attention.
   attention_mask: Optional[BandedMask]
   attention_k_hop: int
+  # GraphCast multimesh: union of edges across all refinement levels
+  # (vertices = finest mesh). None unless built with build_multimesh=True.
+  multimesh_edges: Optional[EdgeSet] = None
 
   @property
   def num_mesh_nodes(self) -> int:
@@ -190,6 +193,7 @@ def build_graph_statics(
     radius_query_fraction_edge_length: float = 0.6,
     attention_k_hop: int = 16,
     build_attention_mask: bool = True,
+    build_multimesh: bool = False,
     block_size_multiple: int = 8,
     cache_dir: Optional[str] = None,
 ) -> GraphStatics:
@@ -215,13 +219,27 @@ def build_graph_statics(
                      lon=grid_lon.tobytes(),
                      frac=radius_query_fraction_edge_length,
                      k_hop=attention_k_hop, mask=build_attention_mask,
-                     bsm=block_size_multiple, v=2)
+                     multimesh=build_multimesh,
+                     bsm=block_size_multiple, v=3)
     cache_path = os.path.join(cache_dir, f'graph_{key}.pkl')
     if os.path.exists(cache_path):
       with open(cache_path, 'rb') as f:
         return pickle.load(f)
 
-  mesh = rcm_permute(icosahedron.finest_mesh(mesh_splits))
+  hierarchy = icosahedron.mesh_hierarchy(mesh_splits)
+  finest = hierarchy[-1]
+  # One permutation applied consistently to the finest mesh and (for the
+  # GraphCast multimesh) the merged face set.
+  senders0, receivers0 = icosahedron.faces_to_edges(finest.faces)
+  n0 = finest.num_vertices
+  adj0 = sparse.csr_matrix(
+      (np.ones_like(senders0, dtype=np.int8), (senders0, receivers0)),
+      shape=(n0, n0))
+  perm = sparse.csgraph.reverse_cuthill_mckee(adj0, symmetric_mode=True)
+  inv_perm = np.empty(n0, dtype=np.int64)
+  inv_perm[perm] = np.arange(n0)
+  mesh = icosahedron.TriMesh(vertices=finest.vertices[perm],
+                             faces=inv_perm[finest.faces].astype(np.int32))
   mesh_phi, mesh_theta = features.xyz_to_spherical(mesh.vertices)
   mesh_lat, mesh_lon = features.spherical_to_lat_lon(mesh_phi, mesh_theta)
   mesh_lat = mesh_lat.astype(np.float32)
@@ -260,6 +278,15 @@ def build_graph_statics(
                              attention_k_hop,
                              block_size_multiple=block_size_multiple)
 
+  multimesh_es = None
+  if build_multimesh:
+    merged = icosahedron.merge_hierarchy(hierarchy)
+    mm_faces = inv_perm[merged.faces].astype(np.int32)
+    mm_s, mm_r = icosahedron.faces_to_edges(mm_faces)
+    mm_feats = features.edge_features(
+        mesh_lat, mesh_lon, mm_s, mesh_lat, mesh_lon, mm_r).features
+    multimesh_es = _sorted_edge_set(mm_s, mm_r, mm_feats)
+
   statics = GraphStatics(
       mesh_vertices=mesh.vertices.astype(np.float32),
       mesh_faces=mesh.faces,
@@ -275,6 +302,7 @@ def build_graph_statics(
       mesh2grid=_sorted_edge_set(m2g_mesh, m2g_grid, m2g_feats),
       attention_mask=mask,
       attention_k_hop=attention_k_hop,
+      multimesh_edges=multimesh_es,
   )
 
   if cache_path is not None:

@@ -1,0 +1,184 @@
+"""GraphCast: deterministic encode-process-decode forecasting.
+
+Packed-array rebuild of the reference's GraphCast (graphcast/graphcast.py),
+which is unrunnable there (Haiku-era constructor calls, README.md:5); this
+revival shares the whole GNN stack with GenCast. Differences from GenCast's
+denoiser: the processor is a deep multimesh GNN (gnn_msg_steps unshared
+InteractionNetwork steps over the union of edges across all refinement
+levels) instead of a transformer, and there is no noise conditioning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import flax.nnx as nnx
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gencast_tpu.data import layout as layout_lib
+from gencast_tpu.data.registry import TaskSpec
+from gencast_tpu.graph.compiler import GraphStatics
+from gencast_tpu.nn.gnn import EdgeTopology, TypedGraphNet
+from gencast_tpu.nn.variables import StaticData
+from gencast_tpu.ops import losses
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphCastConfig:
+  """Reference ModelConfig (graphcast/graphcast.py:174-201)."""
+  latent_size: int = 512
+  gnn_msg_steps: int = 16
+  hidden_layers: int = 1
+  radius_query_fraction_edge_length: float = 0.6
+  mesh2grid_edge_normalization_factor: Optional[float] = None
+
+
+# Reference loss weights (graphcast/graphcast.py:404-416).
+LOSS_WEIGHTS_SURFACE = {
+    '2m_temperature': 1.0,
+    '10m_u_component_of_wind': 0.1,
+    '10m_v_component_of_wind': 0.1,
+    'mean_sea_level_pressure': 0.1,
+    'total_precipitation_6hr': 0.1,
+}
+
+
+class GraphCast(nnx.Module):
+  """Deterministic predictor over packed [B, lat, lon, C] tensors."""
+
+  def __init__(self, task: TaskSpec, statics: GraphStatics,
+               config: GraphCastConfig = GraphCastConfig(), *,
+               rngs: nnx.Rngs):
+    if statics.multimesh_edges is None:
+      raise ValueError('GraphCast requires GraphStatics built with '
+                       'build_multimesh=True')
+    self.task = task
+    cfg = config
+    latent = cfg.latent_size
+    self.num_lat = statics.grid_lat.shape[0]
+    self.num_lon = statics.grid_lon.shape[0]
+
+    self.input_layout = layout_lib.build_layout(
+        task.input_variables, task.pressure_levels, task.num_input_frames)
+    self.target_layout = layout_lib.build_layout(
+        task.target_variables, task.pressure_levels, 1)
+    self.forcing_layout = layout_lib.build_layout(
+        task.forcing_variables, task.pressure_levels, 1)
+
+    self.grid_struct = StaticData(jnp.asarray(statics.grid_node_features))
+    self.mesh_struct = StaticData(jnp.asarray(statics.mesh_node_features))
+    self.g2m_edge_feats = StaticData(jnp.asarray(statics.grid2mesh.features))
+    self.mm_edge_feats = StaticData(
+        jnp.asarray(statics.multimesh_edges.features))
+    self.m2g_edge_feats = StaticData(jnp.asarray(statics.mesh2grid.features))
+
+    num_nodes = {'grid': statics.num_grid_nodes,
+                 'mesh': statics.num_mesh_nodes}
+    num_data = self.input_layout.num_channels + \
+        self.forcing_layout.num_channels
+
+    common = dict(mlp_hidden_size=latent,
+                  mlp_num_hidden_layers=cfg.hidden_layers,
+                  activation='swish', use_layer_norm=True,
+                  use_norm_conditioning=False, rngs=rngs)
+
+    self.grid2mesh = TypedGraphNet(
+        topologies=[EdgeTopology('g2m', 'grid', 'mesh',
+                                 statics.grid2mesh.senders,
+                                 statics.grid2mesh.receivers)],
+        num_nodes=num_nodes,
+        node_input_sizes={'grid': 3 + num_data, 'mesh': 3},
+        edge_input_sizes={'g2m': 4},
+        node_latent_size={'grid': latent, 'mesh': latent},
+        edge_latent_size={'g2m': latent},
+        num_message_passing_steps=1,
+        f32_aggregation=True,
+        **common)
+
+    self.mesh_gnn = TypedGraphNet(
+        topologies=[EdgeTopology('mesh', 'mesh', 'mesh',
+                                 statics.multimesh_edges.senders,
+                                 statics.multimesh_edges.receivers)],
+        num_nodes={'mesh': statics.num_mesh_nodes},
+        node_input_sizes={},
+        edge_input_sizes={'mesh': 4},
+        node_latent_size={'mesh': latent},
+        edge_latent_size={'mesh': latent},
+        num_message_passing_steps=cfg.gnn_msg_steps,
+        embed_nodes=False,
+        f32_aggregation=False,
+        **common)
+
+    self.mesh2grid = TypedGraphNet(
+        topologies=[EdgeTopology('m2g', 'mesh', 'grid',
+                                 statics.mesh2grid.senders,
+                                 statics.mesh2grid.receivers)],
+        num_nodes=num_nodes,
+        node_input_sizes={},
+        edge_input_sizes={'m2g': 4},
+        node_latent_size={'grid': latent, 'mesh': latent},
+        edge_latent_size={'m2g': latent},
+        num_message_passing_steps=1,
+        embed_nodes=False,
+        node_output_sizes={'grid': self.target_layout.num_channels},
+        f32_aggregation=False,
+        **common)
+
+    lat_w = layout_lib.latitude_weights(statics.grid_lat)
+    chan_w, diag_w = layout_lib.loss_channel_weights(
+        self.target_layout, LOSS_WEIGHTS_SURFACE)
+    self.lat_weights = StaticData(jnp.asarray(lat_w))
+    self.loss_weights = StaticData(jnp.asarray(chan_w))
+    self._diag_weights = diag_w
+
+  def predict(self, inputs: jnp.ndarray, forcings: jnp.ndarray,
+              key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """One forward step: [B, lat, lon, C_in] -> [B, lat, lon, C_tgt]."""
+    del key  # deterministic
+    b = inputs.shape[0]
+    dtype = inputs.dtype
+    g = self.num_lat * self.num_lon
+    grid_data = jnp.concatenate([inputs, forcings], axis=-1)
+    node_data = grid_data.reshape(b, g, -1).transpose(1, 0, 2)
+
+    def bcast(feat):
+      return jnp.broadcast_to(feat[:, None, :].astype(dtype),
+                              (feat.shape[0], b, feat.shape[1]))
+
+    grid_in = jnp.concatenate([bcast(self.grid_struct[...]), node_data], -1)
+    nodes, _ = self.grid2mesh(
+        {'grid': grid_in, 'mesh': bcast(self.mesh_struct[...])},
+        {'g2m': bcast(self.g2m_edge_feats[...])})
+    latent_grid, latent_mesh = nodes['grid'], nodes['mesh']
+
+    nodes, _ = self.mesh_gnn({'mesh': latent_mesh},
+                             {'mesh': bcast(self.mm_edge_feats[...])})
+    latent_mesh = nodes['mesh']
+
+    nodes, _ = self.mesh2grid(
+        {'grid': latent_grid, 'mesh': latent_mesh},
+        {'m2g': bcast(self.m2g_edge_feats[...])})
+    out = nodes['grid']  # [G, B, C_tgt]
+    return out.transpose(1, 0, 2).reshape(b, self.num_lat, self.num_lon, -1)
+
+  def __call__(self, inputs, forcings):
+    return self.predict(inputs, forcings)
+
+  def loss_and_predictions(self, inputs, targets, forcings,
+                           key: Optional[jax.Array] = None):
+    preds = self.predict(inputs, forcings)
+    loss = losses.weighted_mse(preds, targets, self.lat_weights[...],
+                               self.loss_weights[...])
+    diags = losses.per_variable_diagnostics(
+        preds, targets, self.lat_weights[...], self.target_layout,
+        self._diag_weights)
+    return (loss, diags), preds
+
+  def loss(self, inputs: jnp.ndarray, targets: jnp.ndarray,
+           forcings: jnp.ndarray, key: Optional[jax.Array] = None
+           ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    (loss, diags), _ = self.loss_and_predictions(inputs, targets, forcings)
+    return loss, diags

@@ -101,6 +101,19 @@ class InputsAndResiduals(nnx.Module):
         **kwargs)
     return self._unnorm_predictions(inputs, norm_preds)
 
+  def predict(self, inputs, forcings, key=None):
+    """Deterministic forward (GraphCast-style predictors)."""
+    norm_preds = self.predictor.predict(
+        self._norm_inputs(inputs), self._norm_forcings(forcings), key)
+    return self._unnorm_predictions(inputs, norm_preds)
+
+  def loss_and_predictions(self, inputs, targets, forcings, key=None):
+    (loss, diags), norm_preds = self.predictor.loss_and_predictions(
+        self._norm_inputs(inputs),
+        self._norm_targets(inputs, targets),
+        self._norm_forcings(forcings), key)
+    return (loss, diags), self._unnorm_predictions(inputs, norm_preds)
+
 
 class NaNCleaner(nnx.Module):
   """Replaces NaNs of one variable (e.g. sea_surface_temperature) with a
@@ -163,3 +176,14 @@ class NaNCleaner(nnx.Module):
                                   self._clean(forcings, 'forcings'), key,
                                   **kwargs)
     return self._reintroduce(inputs, preds)
+
+  def predict(self, inputs, forcings, key=None):
+    preds = self.predictor.predict(self._clean(inputs, 'inputs'),
+                                   self._clean(forcings, 'forcings'), key)
+    return self._reintroduce(inputs, preds)
+
+  def loss_and_predictions(self, inputs, targets, forcings, key=None):
+    (loss, diags), preds = self.predictor.loss_and_predictions(
+        self._clean(inputs, 'inputs'), self._clean(targets, 'targets'),
+        self._clean(forcings, 'forcings'), key)
+    return (loss, diags), self._reintroduce(inputs, preds)

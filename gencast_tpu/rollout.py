@@ -75,6 +75,75 @@ def rollout(predict_fn: PredictFn,
   return predictions
 
 
+def _find_layouts(model: nnx.Module):
+  d = model
+  while not hasattr(d, 'input_layout'):
+    d = d.denoiser if hasattr(d, 'denoiser') else d.predictor
+  return d
+
+
+def autoregressive_loss(model: nnx.Module,
+                        inputs: jnp.ndarray,          # [B, lat, lon, C_in]
+                        targets: jnp.ndarray,         # [K, B, lat, lon, C_t]
+                        forcings: jnp.ndarray,        # [K, B, lat, lon, C_f]
+                        key: Optional[jax.Array] = None,
+                        remat: bool = True):
+  """Multi-step training loss: scan over forecast steps with the window
+  advanced on the model's own predictions (gradients flow through the whole
+  rollout). The semantics of the reference's dead Haiku autoregressive
+  wrapper (common/autoregressive.py:127-312), rebuilt with lax.scan +
+  jax.checkpoint. Returns (mean loss [B], per-variable diagnostics)."""
+  d = _find_layouts(model)
+  maps = layout_lib.rollout_maps(d.input_layout, d.target_layout,
+                                 d.forcing_layout)
+  num_steps = targets.shape[0]
+  keys = (jax.random.split(key, num_steps) if key is not None
+          else jnp.zeros((num_steps, 2), jnp.uint32))
+
+  def body(carry, x):
+    frc, tgt, k = x
+    (loss, diags), preds = model.loss_and_predictions(
+        carry, tgt, frc, k if key is not None else None)
+    nxt = advance_inputs(carry, preds, frc, maps)
+    return nxt, (loss, diags)
+
+  if remat:
+    body = jax.checkpoint(body)
+  _, (step_losses, step_diags) = jax.lax.scan(body, inputs,
+                                              (forcings, targets, keys))
+  loss = step_losses.mean(axis=0)
+  diags = jax.tree.map(lambda x: x.mean(axis=0), step_diags)
+  return loss, diags
+
+
+def predict_rollout(model: nnx.Module,
+                    inputs: jnp.ndarray,
+                    forcings: jnp.ndarray,
+                    key: Optional[jax.Array] = None,
+                    teacher_targets: Optional[jnp.ndarray] = None,
+                    jit: bool = True) -> jnp.ndarray:
+  """Deterministic AR rollout via model.predict (GraphCast-style)."""
+  d = _find_layouts(model)
+  maps = layout_lib.rollout_maps(d.input_layout, d.target_layout,
+                                 d.forcing_layout)
+  graphdef, state = nnx.split(model)
+  if key is None:
+    key = jax.random.PRNGKey(0)
+
+  def run(state, inputs, forcings, key, teacher_targets):
+    m = nnx.merge(graphdef, state)
+
+    def predict(x, frc, k):
+      return m.predict(x, frc, k)
+
+    return rollout(predict, inputs, forcings, maps, key,
+                   teacher_targets=teacher_targets)
+
+  if jit:
+    run = jax.jit(run)
+  return run(state, inputs, forcings, key, teacher_targets)
+
+
 def sample_rollout(model: nnx.Module,
                    inputs: jnp.ndarray,
                    forcings: jnp.ndarray,
@@ -86,9 +155,7 @@ def sample_rollout(model: nnx.Module,
   `model` must expose .sample(inputs, forcings, key) in raw (unnormalized)
   space — e.g. InputsAndResiduals(NaNCleaner(GenCast)).
   """
-  d = model
-  while not hasattr(d, 'input_layout'):
-    d = d.denoiser if hasattr(d, 'denoiser') else d.predictor
+  d = _find_layouts(model)
   maps = layout_lib.rollout_maps(d.input_layout, d.target_layout,
                                  d.forcing_layout)
   graphdef, state = nnx.split(model)

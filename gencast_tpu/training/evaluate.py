@@ -19,6 +19,8 @@ import numpy as np
 
 def parse_args(argv=None):
   p = argparse.ArgumentParser(description='Evaluate GenCast (TPU-native).')
+  p.add_argument('--model', default='gencast',
+                 choices=['gencast', 'graphcast'])
   p.add_argument('--preset', default='nano',
                  choices=['tiny', 'nano', '1deg', '0.25deg'])
   p.add_argument('--data', default='synthetic')
@@ -68,15 +70,19 @@ def main(argv=None):
   from gencast_tpu.training.train import build_spec
 
   spec = build_spec(args)
-  model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(args.seed))
+  if args.model == 'graphcast':
+    model, statics = configs.build_graphcast(spec, rngs=nnx.Rngs(args.seed))
+  else:
+    model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(args.seed))
 
+  task = model.task
   if args.data == 'synthetic':
     source = sources.SyntheticSource(
-        spec.task, statics.grid_lat, statics.grid_lon,
-        num_times=args.max_rollout_steps + spec.task.num_input_frames + 2,
+        task, statics.grid_lat, statics.grid_lon,
+        num_times=args.max_rollout_steps + task.num_input_frames + 2,
         seed=args.seed + 1)
   else:
-    source = sources.Era5NpzSource(args.data, spec.task)
+    source = sources.Era5NpzSource(args.data, task)
 
   if args.stats_path and os.path.exists(args.stats_path):
     stats = sources.load_stats(args.stats_path)
@@ -85,7 +91,7 @@ def main(argv=None):
 
   wrapped = model
   if args.clean_sst_nans and \
-      'sea_surface_temperature' in spec.task.input_variables:
+      'sea_surface_temperature' in task.input_variables:
     fill = float(np.asarray(stats.mean['sea_surface_temperature']))
     wrapped = wrappers.NaNCleaner(wrapped, 'sea_surface_temperature', fill)
   if not args.no_normalization:
@@ -108,15 +114,19 @@ def main(argv=None):
 
   key = jax.random.PRNGKey(args.seed)
   members = []
-  for m in range(args.num_members):
-    preds = rollout_lib.sample_rollout(
-        wrapped, inputs, forcings, jax.random.fold_in(key, m),
-        teacher_targets=teacher)
+  for m in range(args.num_members if args.model == 'gencast' else 1):
+    if args.model == 'graphcast':
+      preds = rollout_lib.predict_rollout(wrapped, inputs, forcings,
+                                          teacher_targets=teacher)
+    else:
+      preds = rollout_lib.sample_rollout(
+          wrapped, inputs, forcings, jax.random.fold_in(key, m),
+          teacher_targets=teacher)
     members.append(np.asarray(preds[:, 0]))  # [K, lat, lon, C]
   preds = np.stack(members)                  # [M, K, lat, lon, C]
   ens_mean = preds.mean(axis=0)
 
-  d = model.denoiser
+  d = model.denoiser if hasattr(model, 'denoiser') else model
   rmse = per_variable_rmse(ens_mean, truth, d.target_layout)
   os.makedirs(args.out_dir, exist_ok=True)
   with open(os.path.join(args.out_dir, 'metrics.json'), 'w') as f:

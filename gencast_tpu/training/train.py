@@ -27,8 +27,12 @@ import numpy as np
 
 def parse_args(argv=None):
   p = argparse.ArgumentParser(description='Train GenCast (TPU-native).')
+  p.add_argument('--model', default='gencast',
+                 choices=['gencast', 'graphcast'])
   p.add_argument('--preset', default='nano',
                  choices=['tiny', 'nano', '1deg', '0.25deg'])
+  p.add_argument('--ar_steps', type=int, default=1,
+                 help='autoregressive training steps (graphcast only)')
   p.add_argument('--data', default='synthetic',
                  help="'synthetic' or a directory of era5 npz shards")
   p.add_argument('--steps', type=int, default=30000)
@@ -102,20 +106,24 @@ def main(argv=None):
   from gencast_tpu import rollout as rollout_lib
 
   spec = build_spec(args)
-  print(f'[train] spec={spec.name} mesh_splits={spec.mesh_splits} '
-        f'd_model={spec.d_model} layers={spec.num_layers} '
-        f'attention={spec.attention_type}')
+  print(f'[train] model={args.model} spec={spec.name} '
+        f'mesh_splits={spec.mesh_splits} d_model={spec.d_model} '
+        f'layers={spec.num_layers} attention={spec.attention_type}')
 
-  model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(args.seed))
+  if args.model == 'graphcast':
+    model, statics = configs.build_graphcast(spec, rngs=nnx.Rngs(args.seed))
+  else:
+    model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(args.seed))
 
   # Data.
+  task = model.task  # may differ from spec.task (e.g. graphcast variables)
   if args.data == 'synthetic':
-    source = sources.SyntheticSource(spec.task, statics.grid_lat,
+    source = sources.SyntheticSource(task, statics.grid_lat,
                                      statics.grid_lon,
                                      num_times=max(40, args.batch_size * 8),
                                      seed=args.seed)
   else:
-    source = sources.Era5NpzSource(args.data, spec.task)
+    source = sources.Era5NpzSource(args.data, task)
   print(f'[train] data source: {type(source).__name__}, '
         f'{len(source)} samples')
 
@@ -132,7 +140,7 @@ def main(argv=None):
   # Wrapper stack (reference: NaNCleaner inside, InputsAndResiduals outside).
   wrapped = model
   if args.clean_sst_nans and \
-      'sea_surface_temperature' in spec.task.input_variables:
+      'sea_surface_temperature' in task.input_variables:
     fill = float(np.asarray(stats.mean['sea_surface_temperature']))
     wrapped = wrappers.NaNCleaner(wrapped, 'sea_surface_temperature', fill)
   if not args.no_normalization:
@@ -162,6 +170,31 @@ def main(argv=None):
   it = sources.batch_iterator(source, args.batch_size, seed=args.seed)
   key = jax.random.PRNGKey(args.seed)
 
+  ar_steps = args.ar_steps if args.model == 'graphcast' else 1
+  if ar_steps > 1:
+    # Multi-step AR training: samples provide K target/forcing frames.
+    def multi_it():
+      rng = np.random.default_rng(args.seed)
+      n = len(source) - ar_steps + 1
+      while True:
+        for i in rng.permutation(max(1, n)):
+          w = source.sample(int(i), num_target_frames=ar_steps)
+          yield {'inputs': w.inputs[None],
+                 'targets': np.swapaxes(w.targets[None], 0, 1),
+                 'forcings': np.swapaxes(w.forcings[None], 0, 1)}
+    it = multi_it()
+
+    @nnx.jit
+    def ar_train_step(m, opt, inputs, targets, forcings, k):
+      def loss_fn(mm):
+        loss, diags = rollout_lib.autoregressive_loss(
+            mm, inputs, targets, forcings, k)
+        return loss.mean(), diags
+      (loss, diags), grads = nnx.value_and_grad(loss_fn,
+                                                has_aux=True)(m)
+      opt.update(m, grads)
+      return loss, diags
+
   def put(batch):
     arrs = {k: jnp.asarray(v) for k, v in batch.items()}
     if mesh is not None:
@@ -176,9 +209,14 @@ def main(argv=None):
       jax.profiler.start_trace(args.profile_dir)
     batch = put(next(it))
     step_key = jax.random.fold_in(key, step)
-    loss, diags = steps_lib.train_step(
-        wrapped, optimizer, batch['inputs'], batch['targets'],
-        batch['forcings'], step_key)
+    if ar_steps > 1:
+      loss, diags = ar_train_step(
+          wrapped, optimizer, batch['inputs'], batch['targets'],
+          batch['forcings'], step_key)
+    else:
+      loss, diags = steps_lib.train_step(
+          wrapped, optimizer, batch['inputs'], batch['targets'],
+          batch['forcings'], step_key)
     losses.append(loss)
     if args.profile_dir and step == 15:
       jax.block_until_ready(loss)
