@@ -4,6 +4,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no quantitative numbers (README.md:19, BASELINE.md),
 so vs_baseline is null.
 
+Methodology: the denoiser is chained through an on-device lax.scan (output
+feeds the next call's noisy-targets input) and timings are differenced
+between a 1-rep and an N-rep program with a scalar host readback. This is
+required on this hardware setup: per-call dispatch timings through the
+remote TPU relay are unreliable (repeated identical dispatches get elided).
+
 Secondary diagnostics (full sampler wall-clock) go to stderr.
 """
 
@@ -12,6 +18,28 @@ import sys
 import time
 
 import numpy as np
+
+REPS = 21
+
+
+def _timed_loop(step_fn, x0, reps, iters=3):
+  """Wall time of `reps` chained step_fn applications inside one jit."""
+  import jax
+
+  @jax.jit
+  def loop(x):
+    def body(c, _):
+      return step_fn(c), ()
+    c, _ = jax.lax.scan(body, x, None, length=reps)
+    return c.sum()
+
+  float(loop(x0))  # compile + warm
+  times = []
+  for i in range(iters):
+    t0 = time.time()
+    float(loop(x0 + float(i)))
+    times.append(time.time() - t0)
+  return min(times)
 
 
 def main():
@@ -34,39 +62,31 @@ def main():
   targets = arr(d.target_layout.num_channels)
   forcings = arr(d.forcing_layout.num_channels)
   sigma = jnp.ones((1,), jnp.float32)
+  m = nnx.merge(graphdef, state)
 
-  @jax.jit
-  def denoise(state, inputs, targets, sigma, forcings):
-    m = nnx.merge(graphdef, state)
-    return m(inputs, targets, sigma, forcings)
+  def step(noisy):
+    # Chain the denoiser through its own output (sampler-like data flow).
+    return m(inputs, noisy, sigma, forcings)
 
-  t0 = time.time()
-  out = jax.block_until_ready(denoise(state, inputs, targets, sigma,
-                                      forcings))
-  compile_s = time.time() - t0
-  print(f'compile: {compile_s:.1f}s out={out.shape}', file=sys.stderr)
-
-  n_iter = 20
-  t0 = time.time()
-  for _ in range(n_iter):
-    out = denoise(state, inputs, targets, sigma, forcings)
-  jax.block_until_ready(out)
-  dt = (time.time() - t0) / n_iter
+  t1 = _timed_loop(step, targets, 1)
+  tn = _timed_loop(step, targets, REPS)
+  dt = (tn - t1) / (REPS - 1)
   steps_per_sec = 1.0 / dt
-  print(f'denoiser fwd: {dt*1000:.2f} ms/step', file=sys.stderr)
+  print(f'denoiser fwd: {dt*1000:.2f} ms/step '
+        f'(t1={t1*1000:.0f}ms t{REPS}={tn*1000:.0f}ms)', file=sys.stderr)
 
   # Secondary: one full 20-level DPM-Solver++2S sampling (39 denoiser calls).
   @jax.jit
   def sample(state, inputs, forcings, key):
-    m = nnx.merge(graphdef, state)
-    return m.sample(inputs, forcings, key)
+    mm = nnx.merge(graphdef, state)
+    return mm.sample(inputs, forcings, key).sum()
 
   key = jax.random.PRNGKey(0)
   t0 = time.time()
-  s = jax.block_until_ready(sample(state, inputs, forcings, key))
+  float(sample(state, inputs, forcings, key))
   print(f'sampler compile+run: {time.time()-t0:.1f}s', file=sys.stderr)
   t0 = time.time()
-  s = jax.block_until_ready(sample(state, inputs, forcings, key))
+  float(sample(state, inputs + 1.0, forcings, key))
   print(f'sampler (20 levels): {time.time()-t0:.2f}s/forecast-step',
         file=sys.stderr)
 

@@ -84,7 +84,7 @@ def build_statics(spec: ModelSpec,
       radius_query_fraction_edge_length=(
           spec.radius_query_fraction_edge_length),
       attention_k_hop=spec.attention_k_hop,
-      block_size_multiple=128 if spec.attention_type == 'pallas' else 8,
+      attention_tile_size=512 if spec.attention_type == 'pallas' else 0,
       cache_dir=cache_dir)
 
 

@@ -27,6 +27,7 @@ import numpy as np
 from scipy import sparse
 
 from gencast_tpu.graph import connectivity, features, icosahedron
+from gencast_tpu.ops.sparse_attention import TilePlan, build_tile_plan
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,6 +86,9 @@ class GraphStatics:
   # GraphCast multimesh: union of edges across all refinement levels
   # (vertices = finest mesh). None unless built with build_multimesh=True.
   multimesh_edges: Optional[EdgeSet] = None
+  # Block-sparse attention tile plan (Pallas backend). None unless built
+  # with attention_tile_size > 0.
+  attention_tile_plan: Optional[TilePlan] = None
 
   @property
   def num_mesh_nodes(self) -> int:
@@ -121,26 +125,29 @@ def _sorted_edge_set(senders: np.ndarray, receivers: np.ndarray,
                  features=feats[order])
 
 
-def _khop_banded_mask(senders: np.ndarray, receivers: np.ndarray,
-                      num_nodes: int, k_hop: int,
-                      block_size_multiple: int = 8) -> BandedMask:
-  """k-hop reachability mask over the (already banded) mesh adjacency,
-  packed as tri-block-diagonal boolean blocks.
-
-  block_size_multiple rounds the block size up for TPU tiling (sublane /
-  lane alignment for the Pallas kernel); correctness only needs
-  block_size > bandwidth.
-  """
+def khop_mask_csr(senders: np.ndarray, receivers: np.ndarray,
+                  num_nodes: int, k_hop: int) -> sparse.csr_matrix:
+  """Boolean k-hop reachability (adjacency + self loops, k-th power)."""
   adj = sparse.csr_matrix(
       (np.ones_like(senders, dtype=bool), (senders, receivers)),
       shape=(num_nodes, num_nodes))
-  adj = adj + sparse.identity(num_nodes, dtype=bool, format='csr')
-  mask = adj.astype(bool)
+  adj = (adj + sparse.identity(num_nodes, dtype=bool, format='csr')
+         ).astype(bool)
   power = adj
   for _ in range(k_hop - 1):
     power = (power @ adj).astype(bool)
-  mask = power
-  mask.eliminate_zeros()
+  power.eliminate_zeros()
+  return power.tocsr()
+
+
+def _banded_mask_from_csr(mask: sparse.csr_matrix,
+                          block_size_multiple: int = 8) -> BandedMask:
+  """Packs a banded boolean mask into tri-block-diagonal blocks.
+
+  block_size_multiple rounds the block size up for TPU tiling (sublane /
+  lane alignment); correctness only needs block_size > bandwidth.
+  """
+  num_nodes = mask.shape[0]
   coo = mask.tocoo()
 
   # Tri-block decomposition needs block_size > bandwidth so that every
@@ -193,6 +200,7 @@ def build_graph_statics(
     radius_query_fraction_edge_length: float = 0.6,
     attention_k_hop: int = 16,
     build_attention_mask: bool = True,
+    attention_tile_size: int = 0,
     build_multimesh: bool = False,
     block_size_multiple: int = 8,
     cache_dir: Optional[str] = None,
@@ -219,8 +227,9 @@ def build_graph_statics(
                      lon=grid_lon.tobytes(),
                      frac=radius_query_fraction_edge_length,
                      k_hop=attention_k_hop, mask=build_attention_mask,
+                     tile=attention_tile_size,
                      multimesh=build_multimesh,
-                     bsm=block_size_multiple, v=3)
+                     bsm=block_size_multiple, v=4)
     cache_path = os.path.join(cache_dir, f'graph_{key}.pkl')
     if os.path.exists(cache_path):
       with open(cache_path, 'rb') as f:
@@ -273,10 +282,14 @@ def build_graph_statics(
       grid_nodes_lat, grid_nodes_lon, m2g_grid).features
 
   mask = None
+  tile_plan = None
   if build_attention_mask:
-    mask = _khop_banded_mask(senders_m, receivers_m, mesh.num_vertices,
-                             attention_k_hop,
-                             block_size_multiple=block_size_multiple)
+    csr = khop_mask_csr(senders_m, receivers_m, mesh.num_vertices,
+                        attention_k_hop)
+    mask = _banded_mask_from_csr(csr,
+                                 block_size_multiple=block_size_multiple)
+    if attention_tile_size:
+      tile_plan = build_tile_plan(csr, tile=attention_tile_size)
 
   multimesh_es = None
   if build_multimesh:
@@ -303,6 +316,7 @@ def build_graph_statics(
       attention_mask=mask,
       attention_k_hop=attention_k_hop,
       multimesh_edges=multimesh_es,
+      attention_tile_plan=tile_plan,
   )
 
   if cache_path is not None:

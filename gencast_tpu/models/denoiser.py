@@ -103,7 +103,8 @@ class DenoiserArchitecture(nnx.Module):
 
     self.processor = MeshTransformer(
         transformer, statics.attention_mask,
-        dense_mask=dense_attention_mask, rngs=rngs)
+        dense_mask=dense_attention_mask,
+        tile_plan=statics.attention_tile_plan, rngs=rngs)
 
     self.mesh2grid = TypedGraphNet(
         topologies=[m2g_topo],

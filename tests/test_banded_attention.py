@@ -75,33 +75,3 @@ def test_gradients_match_oracle():
   for gp, gr, name in zip(g_pallas, g_ref, 'qkv'):
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                atol=2e-5, rtol=2e-5, err_msg=f'd{name}')
-
-
-def test_transformer_pallas_backend_matches_triblock():
-  """End-to-end: MeshTransformer with attention_type='pallas' equals
-  'triblock' with identical weights."""
-  import flax.nnx as nnx
-  from gencast_tpu.graph import compiler
-  from gencast_tpu.nn import transformer as tr
-
-  lat = np.arange(-90.0, 90.0 + 1e-6, 15.0, dtype=np.float32)
-  lon = np.arange(0.0, 360.0, 15.0, dtype=np.float32)
-  statics = compiler.build_graph_statics(2, lat, lon, attention_k_hop=4)
-
-  def cfg(attn):
-    return tr.TransformerConfig(d_model=32, num_layers=2, num_heads=2,
-                                ffw_hidden=64, attention_type=attn,
-                                ffw_winit_final_mult=1.0,
-                                attn_winit_final_mult=1.0)
-
-  tri = tr.MeshTransformer(cfg('triblock'), statics.attention_mask,
-                           rngs=nnx.Rngs(0))
-  pal = tr.MeshTransformer(cfg('pallas'), statics.attention_mask,
-                           rngs=nnx.Rngs(0))
-  n = statics.num_mesh_nodes
-  x = jax.random.normal(jax.random.PRNGKey(1), (n, 2, 32))
-  cond = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
-  out_t = tri(x, cond)
-  out_p = pal(x, cond)
-  np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_t),
-                             atol=2e-5, rtol=2e-5)
