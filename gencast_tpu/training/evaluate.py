@@ -82,7 +82,13 @@ def main(argv=None):
         num_times=args.max_rollout_steps + task.num_input_frames + 2,
         seed=args.seed + 1)
   else:
-    source = sources.Era5NpzSource(args.data, task)
+    import glob as _glob
+    if _glob.glob(os.path.join(args.data, 'era5_pressure_levels_*.nc')):
+      from gencast_tpu.data import era5_netcdf
+      source = era5_netcdf.Era5NetCDFSource(args.data, task,
+                                            resolution_deg=spec.resolution_deg)
+    else:
+      source = sources.Era5NpzSource(args.data, task)
 
   if args.stats_path and os.path.exists(args.stats_path):
     stats = sources.load_stats(args.stats_path)
@@ -128,13 +134,32 @@ def main(argv=None):
 
   d = model.denoiser if hasattr(model, 'denoiser') else model
   rmse = per_variable_rmse(ens_mean, truth, d.target_layout)
+  results = {'rmse': rmse, 'steps': k, 'members': args.num_members}
+
+  if preds.shape[0] > 1:
+    # Probabilistic scores (GenCast's headline metrics).
+    from gencast_tpu.data import layout as L
+    from gencast_tpu.ops import metrics as metrics_lib
+    latw = jnp.asarray(L.latitude_weights(statics.grid_lat))
+    mem = jnp.asarray(preds)        # [M, K, lat, lon, C]
+    tru = jnp.asarray(truth)        # [K, lat, lon, C]
+    crps_pc = metrics_lib.crps_ensemble(mem, tru, latw).mean(axis=0)
+    spread_pc = metrics_lib.ensemble_spread(mem, latw).mean(axis=0)
+    results['crps'] = {k2: float(v) for k2, v in metrics_lib.per_variable(
+        crps_pc, d.target_layout).items()}
+    results['spread'] = {k2: float(v) for k2, v in metrics_lib.per_variable(
+        spread_pc, d.target_layout).items()}
+
   os.makedirs(args.out_dir, exist_ok=True)
   with open(os.path.join(args.out_dir, 'metrics.json'), 'w') as f:
-    json.dump({'rmse': rmse, 'steps': k,
-               'members': args.num_members}, f, indent=2)
+    json.dump(results, f, indent=2)
   print('[eval] per-variable RMSE:')
   for name, v in rmse.items():
     print(f'  {name}: {v:.4f}')
+  if 'crps' in results:
+    print('[eval] per-variable CRPS:')
+    for name, v in results['crps'].items():
+      print(f'  {name}: {v:.4f}')
 
   np.savez(os.path.join(args.out_dir, 'rollout.npz'),
            predictions=preds, truth=truth,

@@ -123,7 +123,13 @@ def main(argv=None):
                                      num_times=max(40, args.batch_size * 8),
                                      seed=args.seed)
   else:
-    source = sources.Era5NpzSource(args.data, task)
+    import glob as _glob
+    if _glob.glob(os.path.join(args.data, 'era5_pressure_levels_*.nc')):
+      from gencast_tpu.data import era5_netcdf
+      source = era5_netcdf.Era5NetCDFSource(args.data, task,
+                                            resolution_deg=spec.resolution_deg)
+    else:
+      source = sources.Era5NpzSource(args.data, task)
   print(f'[train] data source: {type(source).__name__}, '
         f'{len(source)} samples')
 
