@@ -85,6 +85,8 @@ def build_statics(spec: ModelSpec,
           spec.radius_query_fraction_edge_length),
       attention_k_hop=spec.attention_k_hop,
       attention_tile_size=512 if spec.attention_type == 'pallas' else 0,
+      build_triblock_mask=spec.attention_type != 'pallas'
+      or spec.mesh_splits < 6,
       cache_dir=cache_dir)
 
 

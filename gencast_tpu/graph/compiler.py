@@ -201,6 +201,7 @@ def build_graph_statics(
     attention_k_hop: int = 16,
     build_attention_mask: bool = True,
     attention_tile_size: int = 0,
+    build_triblock_mask: bool = True,
     build_multimesh: bool = False,
     block_size_multiple: int = 8,
     cache_dir: Optional[str] = None,
@@ -227,6 +228,7 @@ def build_graph_statics(
                      lon=grid_lon.tobytes(),
                      frac=radius_query_fraction_edge_length,
                      k_hop=attention_k_hop, mask=build_attention_mask,
+                     triblock=build_triblock_mask,
                      tile=attention_tile_size,
                      multimesh=build_multimesh,
                      bsm=block_size_multiple, v=4)
@@ -286,8 +288,11 @@ def build_graph_statics(
   if build_attention_mask:
     csr = khop_mask_csr(senders_m, receivers_m, mesh.num_vertices,
                         attention_k_hop)
-    mask = _banded_mask_from_csr(csr,
-                                 block_size_multiple=block_size_multiple)
+    if build_triblock_mask:
+      # Skippable at paper scale (splits=6 bandwidth makes the dense
+      # tri-block layout ~1GB); the Pallas path needs only the tile plan.
+      mask = _banded_mask_from_csr(csr,
+                                   block_size_multiple=block_size_multiple)
     if attention_tile_size:
       tile_plan = build_tile_plan(csr, tile=attention_tile_size)
 

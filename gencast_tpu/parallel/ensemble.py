@@ -21,6 +21,48 @@ def member_keys(key: jax.Array, num_members: int) -> jax.Array:
       jnp.arange(num_members))
 
 
+def ensemble_rollout(model: nnx.Module,
+                     inputs: jnp.ndarray,        # [B, lat, lon, C_in]
+                     forcings: jnp.ndarray,      # [K, B, lat, lon, C_frc]
+                     key: jax.Array,
+                     num_members: int,
+                     mesh: Optional[Mesh] = None) -> jnp.ndarray:
+  """The GenCast production workload: a K-step autoregressive ensemble
+  forecast, members sharded over the 'ensemble' mesh axis.
+
+  Each member runs its own fused rollout scan (sampler scan nested inside);
+  there is no cross-member communication until the caller reduces over the
+  member axis. Returns [M, K, B, lat, lon, C_tgt].
+  """
+  from gencast_tpu import rollout as rollout_lib
+  d = rollout_lib._find_layouts(model)
+  from gencast_tpu.data import layout as layout_lib
+  maps = layout_lib.rollout_maps(d.input_layout, d.target_layout,
+                                 d.forcing_layout)
+  graphdef, state = nnx.split(model)
+  keys = member_keys(key, num_members)
+  if mesh is not None:
+    keys = jax.device_put(keys, NamedSharding(mesh, P('ensemble')))
+
+  @jax.jit
+  def run(state, inputs, forcings, keys):
+    def one(k):
+      m = nnx.merge(graphdef, state)
+
+      def predict(x, frc, kk):
+        return m.sample(x, frc, kk)
+
+      return rollout_lib.rollout(predict, inputs, forcings, maps, k)
+
+    out = jax.vmap(one)(keys)  # [M, K, B, lat, lon, C]
+    if mesh is not None:
+      out = jax.lax.with_sharding_constraint(
+          out, NamedSharding(mesh, P('ensemble')))
+    return out
+
+  return run(state, inputs, forcings, keys)
+
+
 def ensemble_sample(model: nnx.Module,
                     inputs: jnp.ndarray,
                     forcings: jnp.ndarray,
