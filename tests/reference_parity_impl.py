@@ -1,0 +1,311 @@
+"""Numerical parity vs the ACTUAL reference modules, with translated weights.
+
+Instantiates the reference implementation's NNX networks (via
+tests/ref_shim.py stubs for jraph/xarray), translates their weights with
+gencast_tpu.training.translate, and asserts our redesigned modules produce
+the same outputs — the executable core of the 1e-4 parity requirement
+(BASELINE.md).
+
+Run standalone (the pytest wrapper test_reference_parity.py invokes this in
+a subprocess with FLAX_PYTREE_MODULE=false, which the reference's flax-0.11
+era module style requires):
+
+  FLAX_PYTREE_MODULE=false python -m tests.reference_parity_impl
+"""
+
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+import jax.numpy as jnp  # noqa: E402
+import flax.nnx as nnx  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests import ref_shim  # noqa: E402
+
+ref_shim.install()
+
+from common import mlp as ref_mlp  # noqa: E402
+from common import typed_graph as ref_tg  # noqa: E402
+from common import deep_typed_graph_net as ref_dtgn  # noqa: E402
+from gencast import sparse_transformer as ref_st  # noqa: E402
+
+from gencast_tpu.nn import mlp as my_mlp  # noqa: E402
+from gencast_tpu.nn import gnn as my_gnn  # noqa: E402
+from gencast_tpu.nn import transformer as my_tr  # noqa: E402
+from gencast_tpu.training import translate  # noqa: E402
+from gencast_tpu.graph import compiler  # noqa: E402
+
+
+def _pure(module):
+  return nnx.to_pure_dict(nnx.state(module))
+
+
+def _load(module, pure):
+  state = nnx.state(module)
+  target = nnx.to_pure_dict(state)
+  translate.merge_into(target, pure)
+  nnx.replace_by_pure_dict(state, target)
+  nnx.update(module, state)
+
+
+def test_cond_mlp_parity():
+  ref = ref_mlp.MLPWithNormConditioning(
+      mlp_input_size=10, mlp_hidden_size=16, mlp_num_hidden_layers=1,
+      mlp_output_size=8, activation=jax.nn.swish, use_layer_norm=True,
+      use_norm_conditioning=True, rngs=nnx.Rngs(0), mesh=None)
+  mine = my_mlp.CondMLP(10, 16, 1, 8, jax.nn.swish, use_layer_norm=True,
+                        use_norm_conditioning=True, rngs=nnx.Rngs(1))
+  _load(mine, translate.cond_mlp(_pure(ref)))
+
+  x = jax.random.normal(jax.random.PRNGKey(2), (5, 2, 10))
+  cond = jax.random.normal(jax.random.PRNGKey(3), (2, 16))
+  np.testing.assert_allclose(np.asarray(mine(x, cond)),
+                             np.asarray(ref(x, cond)),
+                             atol=1e-6, rtol=1e-6)
+
+
+def _ref_bipartite_graph(statics, grid_feats, mesh_feats, edge_feats):
+  g2m = statics.grid2mesh
+  grid_set = ref_tg.NodeSet(n_node=np.array([statics.num_grid_nodes]),
+                            features=grid_feats)
+  mesh_set = ref_tg.NodeSet(n_node=np.array([statics.num_mesh_nodes]),
+                            features=mesh_feats)
+  edge_set = ref_tg.EdgeSet(
+      n_edge=np.array([g2m.num_edges]),
+      indices=ref_tg.EdgesIndices(senders=jnp.asarray(g2m.senders),
+                                  receivers=jnp.asarray(g2m.receivers)),
+      features=edge_feats)
+  return ref_tg.TypedGraph(
+      context=ref_tg.Context(n_graph=np.array([1]), features=()),
+      nodes={'grid_nodes': grid_set, 'mesh_nodes': mesh_set},
+      edges={ref_tg.EdgeSetKey('grid2mesh', ('grid_nodes', 'mesh_nodes')):
+             edge_set})
+
+
+def _statics():
+  lat = np.arange(-90.0, 90.0 + 1e-6, 30.0, dtype=np.float32)
+  lon = np.arange(0.0, 360.0, 30.0, dtype=np.float32)
+  return compiler.build_graph_statics(1, lat, lon, attention_k_hop=2)
+
+
+def test_typed_graph_net_parity(statics):
+  """grid2mesh-style GNN: embed + 1 interaction + residuals, f32 agg."""
+  latent = 24
+  batch = 2
+  c_grid, c_mesh, c_edge = 7, 5, 4
+
+  rng = np.random.default_rng(0)
+  grid_feats = jnp.asarray(
+      rng.standard_normal((statics.num_grid_nodes, batch, c_grid)),
+      jnp.float32)
+  mesh_feats = jnp.asarray(
+      rng.standard_normal((statics.num_mesh_nodes, batch, c_mesh)),
+      jnp.float32)
+  edge_feats = jnp.asarray(
+      rng.standard_normal((statics.grid2mesh.num_edges, batch, c_edge)),
+      jnp.float32)
+  cond = jnp.asarray(rng.standard_normal((batch, 16)), jnp.float32)
+
+  graph = _ref_bipartite_graph(statics, grid_feats, mesh_feats, edge_feats)
+  ref = ref_dtgn.DeepTypedGraphNet(
+      activation='swish',
+      aggregate_normalization=None,
+      edge_latent_size=dict(grid2mesh=latent),
+      embed_edges=True, embed_nodes=True,
+      f32_aggregation=True,
+      include_sent_messages_in_node_update=False,
+      mlp_hidden_size=latent, mlp_num_hidden_layers=1,
+      node_latent_size=dict(grid_nodes=latent, mesh_nodes=latent),
+      node_output_size=None,
+      num_message_passing_steps=1,
+      use_layer_norm=True, use_norm_conditioning=True,
+      rngs=nnx.Rngs(0), gpu_mesh=None, graph_template=graph)
+  ref_out = ref(graph, cond)
+
+  mine = my_gnn.TypedGraphNet(
+      topologies=[my_gnn.EdgeTopology('g2m', 'grid', 'mesh',
+                                      statics.grid2mesh.senders,
+                                      statics.grid2mesh.receivers)],
+      num_nodes={'grid': statics.num_grid_nodes,
+                 'mesh': statics.num_mesh_nodes},
+      node_input_sizes={'grid': c_grid, 'mesh': c_mesh},
+      edge_input_sizes={'g2m': c_edge},
+      node_latent_size={'grid': latent, 'mesh': latent},
+      edge_latent_size={'g2m': latent},
+      mlp_hidden_size=latent, mlp_num_hidden_layers=1,
+      num_message_passing_steps=1,
+      f32_aggregation=True, rngs=nnx.Rngs(1))
+  _load(mine, translate.typed_graph_net(_pure(ref)))
+
+  nodes, edges = mine({'grid': grid_feats, 'mesh': mesh_feats},
+                      {'g2m': edge_feats}, cond)
+  np.testing.assert_allclose(
+      np.asarray(nodes['mesh']),
+      np.asarray(ref_out.nodes['mesh_nodes'].features),
+      atol=2e-5, rtol=2e-5)
+  np.testing.assert_allclose(
+      np.asarray(nodes['grid']),
+      np.asarray(ref_out.nodes['grid_nodes'].features),
+      atol=2e-5, rtol=2e-5)
+
+
+def test_transformer_parity(statics):
+  """Full sparse transformer (triblockdiag) with translated weights."""
+  import scipy.sparse as sp
+  d_model, heads, layers = 32, 2, 3
+  n = statics.num_mesh_nodes
+  s, r = statics.mesh_edges.senders, statics.mesh_edges.receivers
+  adj = sp.lil_matrix((n, n), dtype=np.int32)
+  adj[s, r] = 1
+  adj.setdiag(1)
+
+  ref = ref_st.Transformer(
+      adj_mat=adj.tocsr(), attention_k_hop=statics.attention_k_hop,
+      attention_type='triblockdiag_mha', mask_type='full',
+      num_heads=heads, rngs=nnx.Rngs(0), mesh=None,
+      d_model=d_model, num_layers=layers, ffw_hidden=64,
+      ffw_winit_final_mult=1.0, attn_winit_final_mult=1.0)
+
+  # Reference block size differs from ours (we round up to a multiple of
+  # 8); rebuild statics mask with multiple 1 for an apples-to-apples run.
+  lat, lon = statics.grid_lat, statics.grid_lon
+  statics_exact = compiler.build_graph_statics(
+      1, lat, lon, attention_k_hop=statics.attention_k_hop,
+      block_size_multiple=1)
+
+  cfg = my_tr.TransformerConfig(
+      d_model=d_model, num_layers=layers, num_heads=heads, ffw_hidden=64,
+      attention_type='triblock', ffw_winit_final_mult=1.0,
+      attn_winit_final_mult=1.0)
+  mine = my_tr.MeshTransformer(cfg, statics_exact.attention_mask,
+                               rngs=nnx.Rngs(1))
+  _load(mine, translate.transformer(_pure(ref)))
+
+  batch = 2
+  x = jax.random.normal(jax.random.PRNGKey(5), (batch, n, d_model))
+  cond = jax.random.normal(jax.random.PRNGKey(6), (batch, 16))
+  ref_out = ref(x, cond)                      # batch-first
+  my_out = mine(jnp.transpose(x, (1, 0, 2)), cond)  # nodes-first
+  np.testing.assert_allclose(np.asarray(jnp.transpose(my_out, (1, 0, 2))),
+                             np.asarray(ref_out), atol=2e-5, rtol=2e-5)
+
+
+def test_full_denoiser_parity(statics):
+  """The whole DenoiserArchitecture compute path (grid2mesh GNN -> mesh
+  transformer -> mesh2grid GNN), reference vs ours, translated weights."""
+  from gencast import denoiser as ref_den
+
+  latent = 24
+  c_data = 11
+  out_size = 5
+  batch = 2
+  lat = statics.grid_lat
+  lon = statics.grid_lon
+
+  st_cfg = ref_den.SparseTransformerConfig(
+      attention_k_hop=statics.attention_k_hop, d_model=latent,
+      num_layers=2, num_heads=2, attention_type='triblockdiag_mha',
+      ffw_hidden=48, ffw_winit_final_mult=1.0, attn_winit_final_mult=1.0)
+  cfg = ref_den.DenoiserArchitectureConfig(
+      sparse_transformer_config=st_cfg, mesh_size=1, latent_size=latent,
+      hidden_layers=1, node_output_size=out_size)
+
+  ref = ref_den.DenoiserArchitecture(cfg, rngs=nnx.Rngs(0), gpu_mesh=None)
+  # Manual init (bypassing the xarray boundary of _maybe_init).
+  ref._init_mesh_properties()
+  ref._init_grid_properties(grid_lat=lat, grid_lon=lon)
+  ref._data_feature_size = c_data
+  ref._grid2mesh_graph_structure = ref._init_grid2mesh_graph(
+      extra_node_features_size=c_data)
+  ref._mesh_graph_structure = ref._init_mesh_graph()
+  ref._mesh2grid_graph_structure = ref._init_mesh2grid_graph()
+  import dataclasses as _dc
+  from common import deep_typed_graph_net as _dtgn
+  from gencast import transformer as _rtr
+  ref.grid2mesh_gnn = _dtgn.DeepTypedGraphNet(
+      activation='swish', aggregate_normalization=None,
+      edge_latent_size=dict(grid2mesh=latent), embed_edges=True,
+      embed_nodes=True, f32_aggregation=True,
+      include_sent_messages_in_node_update=False,
+      mlp_hidden_size=latent, mlp_num_hidden_layers=1,
+      node_latent_size=dict(grid_nodes=latent, mesh_nodes=latent),
+      node_output_size=None, num_message_passing_steps=1,
+      use_layer_norm=True, use_norm_conditioning=True,
+      rngs=nnx.Rngs(1), gpu_mesh=None,
+      graph_template=ref._grid2mesh_graph_structure)
+  ref.mesh_gnn = _rtr.MeshTransformer(
+      transformer_kwargs=_dc.asdict(st_cfg), rngs=nnx.Rngs(2),
+      gpu_mesh=None, graph_template=ref._mesh_graph_structure)
+  ref.mesh2grid_gnn = _dtgn.DeepTypedGraphNet(
+      activation='swish', edge_latent_size=dict(mesh2grid=latent),
+      embed_nodes=False, f32_aggregation=False,
+      include_sent_messages_in_node_update=False,
+      mlp_hidden_size=latent, mlp_num_hidden_layers=1,
+      node_latent_size=dict(grid_nodes=latent, mesh_nodes=latent),
+      node_output_size=dict(grid_nodes=out_size),
+      num_message_passing_steps=1, use_layer_norm=True,
+      use_norm_conditioning=True, rngs=nnx.Rngs(3), gpu_mesh=None,
+      graph_template=ref._mesh2grid_graph_structure)
+  ref._initialized = True
+
+  rng = np.random.default_rng(7)
+  grid_feats = jnp.asarray(
+      rng.standard_normal((statics.num_grid_nodes, batch, c_data)),
+      jnp.float32)
+  cond = jnp.asarray(rng.standard_normal((batch, 16)), jnp.float32)
+
+  latent_mesh, latent_grid = ref._run_grid2mesh_gnn(grid_feats, cond)
+  upd_mesh = ref._run_mesh_gnn(latent_mesh, cond)
+  ref_out = ref._run_mesh2grid_gnn(upd_mesh, latent_grid, cond)
+
+  # Ours, with exact (multiple=1) block size and translated weights.
+  statics_exact = compiler.build_graph_statics(
+      1, lat, lon, attention_k_hop=statics.attention_k_hop,
+      block_size_multiple=1)
+  from gencast_tpu.models import denoiser as my_den
+  from gencast_tpu.nn.transformer import TransformerConfig
+  mine = my_den.DenoiserArchitecture(
+      statics_exact,
+      TransformerConfig(d_model=latent, num_layers=2, num_heads=2,
+                        ffw_hidden=48, attention_type='triblock',
+                        ffw_winit_final_mult=1.0,
+                        attn_winit_final_mult=1.0),
+      num_data_channels=c_data, node_output_size=out_size,
+      config=my_den.DenoiserConfig(latent_size=latent),
+      rngs=nnx.Rngs(4))
+
+  translated = {
+      'grid2mesh': translate.typed_graph_net(
+          _pure(ref.grid2mesh_gnn), mesh_embedder_keep_rows=3),
+      'processor': translate.transformer(
+          _pure(ref.mesh_gnn)['batch_first_transformer']),
+      'mesh2grid': translate.typed_graph_net(_pure(ref.mesh2grid_gnn)),
+  }
+  _load(mine, translated)
+
+  my_out = mine(grid_feats, cond)
+  err = np.abs(np.asarray(my_out) - np.asarray(ref_out))
+  rel = err.max() / (np.abs(np.asarray(ref_out)).max() + 1e-12)
+  print(f'denoiser max abs err {err.max():.2e}, rel {rel:.2e}')
+  assert rel < 1e-4, rel
+
+
+if __name__ == '__main__':
+  assert not __import__('flax').config.flax_pytree_module, \
+      'run with FLAX_PYTREE_MODULE=false'
+  statics = _statics()
+  test_cond_mlp_parity()
+  print('cond_mlp parity OK')
+  test_typed_graph_net_parity(statics)
+  print('typed_graph_net parity OK')
+  test_transformer_parity(statics)
+  print('transformer parity OK')
+  test_full_denoiser_parity(statics)
+  print('FULL DENOISER parity OK (<=1e-4 relative)')
