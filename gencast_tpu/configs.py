@@ -129,6 +129,12 @@ def build_gencast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
   normalization/NaN stack) plus its graph statics."""
   if statics is None:
     statics = build_statics(spec, cache_dir)
+  dense_mask = None
+  if spec.attention_type == 'dense':
+    from gencast_tpu.graph.compiler import khop_mask_csr
+    dense_mask = khop_mask_csr(
+        statics.mesh_edges.senders, statics.mesh_edges.receivers,
+        statics.num_mesh_nodes, spec.attention_k_hop).toarray()
   transformer = TransformerConfig(
       d_model=spec.d_model, num_layers=spec.num_layers,
       num_heads=spec.num_heads, attention_type=spec.attention_type,
@@ -141,5 +147,6 @@ def build_gencast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
           stochastic_churn_rate=spec.stochastic_churn_rate,
           num_noise_levels=spec.num_noise_levels),
       noise_config=NoiseConfig(),
-      rngs=rngs if rngs is not None else nnx.Rngs(0))
+      rngs=rngs if rngs is not None else nnx.Rngs(0),
+      dense_attention_mask=dense_mask)
   return model, statics

@@ -132,8 +132,9 @@ class SyntheticSource(WindowedSource):
   def _base_noise(self, name: str) -> np.ndarray:
     """Smooth [num_times, lat, lon] noise, cached per variable."""
     if name not in self._cache:
+      import zlib
       rng = np.random.default_rng(
-          (hash((self._seed, name)) & 0x7FFFFFFF))
+          zlib.crc32(name.encode()) ^ (self._seed & 0x7FFFFFFF))
       nlat, nlon = self.lat.size, self.lon.size
       # Low-wavenumber Fourier noise, AR(1) in time.
       kmax = 4
@@ -268,6 +269,10 @@ def batch_iterator(source: WindowedSource, batch_size: int, *,
   """Yields dicts of stacked numpy batches: inputs/targets/forcings."""
   rng = np.random.default_rng(seed)
   n = len(source)
+  if n == 0 or batch_size > n:
+    raise ValueError(
+        f'source has {n} sample windows; cannot serve batch_size='
+        f'{batch_size}')
   while True:
     idx = rng.permutation(n) if shuffle else np.arange(n)
     for start in range(0, n - batch_size + 1, batch_size):

@@ -99,11 +99,12 @@ class GraphStatics:
     return self.grid_lat.shape[0] * self.grid_lon.shape[0]
 
 
-def rcm_permute(mesh: icosahedron.TriMesh) -> icosahedron.TriMesh:
+def rcm_permute(mesh: icosahedron.TriMesh):
   """Reverse-Cuthill-McKee permutation of mesh vertices to banded adjacency.
 
   Deterministic for a given mesh (reference gencast/denoiser.py:849-867 uses
-  the same scipy routine).
+  the same scipy routine). Returns (permuted_mesh, inverse_permutation) so
+  companion structures (e.g. multimesh faces) can be permuted consistently.
   """
   senders, receivers = icosahedron.faces_to_edges(mesh.faces)
   n = mesh.num_vertices
@@ -113,8 +114,9 @@ def rcm_permute(mesh: icosahedron.TriMesh) -> icosahedron.TriMesh:
   perm = sparse.csgraph.reverse_cuthill_mckee(adj, symmetric_mode=True)
   inverse = np.empty(n, dtype=np.int64)
   inverse[perm] = np.arange(n)
-  return icosahedron.TriMesh(vertices=mesh.vertices[perm],
-                             faces=inverse[mesh.faces].astype(np.int32))
+  permuted = icosahedron.TriMesh(vertices=mesh.vertices[perm],
+                                 faces=inverse[mesh.faces].astype(np.int32))
+  return permuted, inverse
 
 
 def _sorted_edge_set(senders: np.ndarray, receivers: np.ndarray,
@@ -133,11 +135,19 @@ def khop_mask_csr(senders: np.ndarray, receivers: np.ndarray,
       shape=(num_nodes, num_nodes))
   adj = (adj + sparse.identity(num_nodes, dtype=bool, format='csr')
          ).astype(bool)
+  # Self loops make adj^k monotone in k, so exponentiation by squaring
+  # computes the k-hop closure in O(log k) boolean matmuls.
   power = adj
-  for _ in range(k_hop - 1):
-    power = (power @ adj).astype(bool)
-  power.eliminate_zeros()
-  return power.tocsr()
+  result = None
+  k = k_hop
+  while k:
+    if k & 1:
+      result = power if result is None else (result @ power).astype(bool)
+    k >>= 1
+    if k:
+      power = (power @ power).astype(bool)
+  result.eliminate_zeros()
+  return result.tocsr()
 
 
 def _banded_mask_from_csr(mask: sparse.csr_matrix,
@@ -238,19 +248,9 @@ def build_graph_statics(
         return pickle.load(f)
 
   hierarchy = icosahedron.mesh_hierarchy(mesh_splits)
-  finest = hierarchy[-1]
   # One permutation applied consistently to the finest mesh and (for the
   # GraphCast multimesh) the merged face set.
-  senders0, receivers0 = icosahedron.faces_to_edges(finest.faces)
-  n0 = finest.num_vertices
-  adj0 = sparse.csr_matrix(
-      (np.ones_like(senders0, dtype=np.int8), (senders0, receivers0)),
-      shape=(n0, n0))
-  perm = sparse.csgraph.reverse_cuthill_mckee(adj0, symmetric_mode=True)
-  inv_perm = np.empty(n0, dtype=np.int64)
-  inv_perm[perm] = np.arange(n0)
-  mesh = icosahedron.TriMesh(vertices=finest.vertices[perm],
-                             faces=inv_perm[finest.faces].astype(np.int32))
+  mesh, inv_perm = rcm_permute(hierarchy[-1])
   mesh_phi, mesh_theta = features.xyz_to_spherical(mesh.vertices)
   mesh_lat, mesh_lon = features.spherical_to_lat_lon(mesh_phi, mesh_theta)
   mesh_lat = mesh_lat.astype(np.float32)

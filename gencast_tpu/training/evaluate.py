@@ -98,7 +98,11 @@ def main(argv=None):
   wrapped = model
   if args.clean_sst_nans and \
       'sea_surface_temperature' in task.input_variables:
-    fill = float(np.asarray(stats.mean['sea_surface_temperature']))
+    # NaNCleaner sits INSIDE InputsAndResiduals, so it sees normalized
+    # data: fill with 0.0 (= the raw-space mean). Only when normalization
+    # is disabled does the raw mean apply.
+    fill = (0.0 if not args.no_normalization
+            else float(np.asarray(stats.mean['sea_surface_temperature'])))
     wrapped = wrappers.NaNCleaner(wrapped, 'sea_surface_temperature', fill)
   if not args.no_normalization:
     wrapped = wrappers.InputsAndResiduals(wrapped, stats)
@@ -112,10 +116,13 @@ def main(argv=None):
 
   k = args.max_rollout_steps
   w = source.sample(0, num_target_frames=k)
+  # sample() returns unstacked [lat, lon, C] for a single target frame.
+  w_targets = w.targets if k > 1 else w.targets[None]
+  w_forcings = w.forcings if k > 1 else w.forcings[None]
   inputs = jnp.asarray(w.inputs)[None]
-  forcings = jnp.asarray(w.forcings)[:, None]      # [K, B=1, ...]
-  truth = np.asarray(w.targets)                    # [K, lat, lon, C]
-  teacher = (jnp.asarray(w.targets)[:, None] if args.teacher_forcing
+  forcings = jnp.asarray(w_forcings)[:, None]      # [K, B=1, ...]
+  truth = np.asarray(w_targets)                    # [K, lat, lon, C]
+  teacher = (jnp.asarray(w_targets)[:, None] if args.teacher_forcing
              else None)
 
   key = jax.random.PRNGKey(args.seed)

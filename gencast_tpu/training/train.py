@@ -147,7 +147,11 @@ def main(argv=None):
   wrapped = model
   if args.clean_sst_nans and \
       'sea_surface_temperature' in task.input_variables:
-    fill = float(np.asarray(stats.mean['sea_surface_temperature']))
+    # NaNCleaner sits INSIDE InputsAndResiduals, so it sees normalized
+    # data: fill with 0.0 (= the raw-space mean). Only when normalization
+    # is disabled does the raw mean apply.
+    fill = (0.0 if not args.no_normalization
+            else float(np.asarray(stats.mean['sea_surface_temperature'])))
     wrapped = wrappers.NaNCleaner(wrapped, 'sea_surface_temperature', fill)
   if not args.no_normalization:
     wrapped = wrappers.InputsAndResiduals(wrapped, stats)
@@ -244,7 +248,9 @@ def main(argv=None):
     if args.do_sampling_eval and (step + 1) % args.eval_every == 0:
       w = source.sample(0)
       frc = jnp.asarray(w.forcings)[None][None]  # [K=1, B=1, ...]
-      preds = rollout_lib.sample_rollout(
+      roll = (rollout_lib.sample_rollout if args.model == 'gencast'
+              else rollout_lib.predict_rollout)
+      preds = roll(
           wrapped, jnp.asarray(w.inputs)[None], frc,
           jax.random.fold_in(key, 10**9 + step))
       rmse = float(jnp.sqrt(jnp.nanmean(

@@ -17,7 +17,7 @@ def test_rcm_reduces_bandwidth():
   mesh = icosahedron.finest_mesh(3)
   s, r = icosahedron.faces_to_edges(mesh.faces)
   bw_orig = np.abs(s - r).max()
-  permuted = compiler.rcm_permute(mesh)
+  permuted, _ = compiler.rcm_permute(mesh)
   s2, r2 = icosahedron.faces_to_edges(permuted.faces)
   bw_rcm = np.abs(s2 - r2).max()
   assert bw_rcm < bw_orig
