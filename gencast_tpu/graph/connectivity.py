@@ -58,6 +58,7 @@ def containing_triangle(
     points: np.ndarray,
     mesh: TriMesh,
     num_candidates: int = 16,
+    use_native: bool = True,
 ) -> np.ndarray:
   """Index of the spherical triangle of `mesh` containing each unit point.
 
@@ -70,6 +71,14 @@ def containing_triangle(
 
   Returns [num_points] int64 face indices.
   """
+  if use_native:
+    # C++ spatial-hash implementation (graph/_native); ~20x faster at the
+    # 0.25-degree scale. Falls through to numpy when unavailable.
+    from gencast_tpu.graph import native
+    result = native.containing_triangle(points, mesh.vertices, mesh.faces)
+    if result is not None:
+      return result
+
   verts = mesh.vertices.astype(np.float64)
   faces = mesh.faces
   v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
