@@ -42,6 +42,7 @@ class ModelSpec:
   radius_query_fraction_edge_length: float = 0.6
   stochastic_churn_rate: float = 0.0
   num_noise_levels: int = 20
+  edge_chunk_size: Optional[int] = None
 
 
 # The reference demo model (training/train.py defaults: mesh 4, d_model 256,
@@ -63,7 +64,8 @@ QUARTER_DEG = ModelSpec(
     name='0.25deg', task=registry.GENCAST_TASK_FULL, resolution_deg=0.25,
     mesh_splits=6, d_model=512, num_layers=16, num_heads=4,
     attention_k_hop=16, attention_type='pallas',
-    stochastic_churn_rate=2.5)
+    stochastic_churn_rate=2.5,
+    edge_chunk_size=256 * 1024)
 
 SPECS = {s.name: s for s in (NANO, ONE_DEG, QUARTER_DEG)}
 
@@ -142,7 +144,8 @@ def build_gencast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
   model = GenCast(
       spec.task, statics, transformer,
       denoiser_config=DenoiserConfig(latent_size=spec.d_model,
-                                     hidden_layers=spec.hidden_layers),
+                                     hidden_layers=spec.hidden_layers,
+                                     edge_chunk_size=spec.edge_chunk_size),
       sampler_config=SamplerConfig(
           stochastic_churn_rate=spec.stochastic_churn_rate,
           num_noise_levels=spec.num_noise_levels),

@@ -48,6 +48,10 @@ class DenoiserConfig:
   hidden_layers: int = 1
   grid2mesh_aggregate_normalization: Optional[float] = None
   noise_encoder: NoiseEncoderConfig = NoiseEncoderConfig()
+  # Streamed edge processing for the encoder/decoder GNNs (see
+  # nn/gnn.py:_streaming_call); None keeps the dense path. Required for
+  # the 0.25-degree configuration on a single chip.
+  edge_chunk_size: Optional[int] = None
 
 
 class DenoiserArchitecture(nnx.Module):
@@ -99,6 +103,7 @@ class DenoiserArchitecture(nnx.Module):
         num_message_passing_steps=1,
         f32_aggregation=True,
         aggregate_normalization=cfg.grid2mesh_aggregate_normalization,
+        edge_chunk_size=cfg.edge_chunk_size,
         rngs=rngs)
 
     self.processor = MeshTransformer(
@@ -119,6 +124,7 @@ class DenoiserArchitecture(nnx.Module):
         embed_nodes=False,
         node_output_sizes={'grid': node_output_size},
         f32_aggregation=False,
+        edge_chunk_size=cfg.edge_chunk_size,
         rngs=rngs)
 
   def __call__(self, grid_data: jnp.ndarray,

@@ -145,9 +145,24 @@ class TypedGraphNet(nnx.Module):
                use_norm_conditioning: bool = True,
                f32_aggregation: bool = False,
                aggregate_normalization: Optional[float] = None,
+               edge_chunk_size: Optional[int] = None,
                rngs: nnx.Rngs):
     act = _activation(activation)
     self.num_processor_repetitions = num_processor_repetitions
+    # Streamed edge processing: lax.scan over edge chunks, fusing edge
+    # embedding + edge update + receiver aggregation so no [E, B, latent]
+    # tensor is ever materialized. Only valid for single-step graphs whose
+    # callers don't consume output edge latents (the grid2mesh / mesh2grid
+    # encoders at paper scale: 3.1M edges x 1028-wide concats otherwise
+    # exceed single-chip HBM). Trades recompute/loop overhead for memory.
+    self.edge_chunk_size = edge_chunk_size
+    if edge_chunk_size is not None:
+      if num_message_passing_steps != 1 or num_processor_repetitions != 1:
+        raise ValueError('edge_chunk_size requires a single-step graph net')
+    self.f32_aggregation = f32_aggregation
+    self.aggregate_normalization = aggregate_normalization
+    self.topologies = topologies
+    self.num_nodes = dict(num_nodes)
 
     # Uniform latent size is required by the concat-based updates.
     self.node_latent_size = dict(node_latent_size)
@@ -199,6 +214,9 @@ class TypedGraphNet(nnx.Module):
   def __call__(self, nodes: NodeFeats, edges: EdgeFeats,
                cond: Optional[jnp.ndarray] = None
                ) -> Tuple[NodeFeats, EdgeFeats]:
+    if self.edge_chunk_size is not None:
+      return self._streaming_call(nodes, edges, cond)
+
     nodes = {k: (self.node_embedders[k](v, cond)
                  if k in self._embedded_node_keys else v)
              for k, v in nodes.items()}
@@ -215,4 +233,71 @@ class TypedGraphNet(nnx.Module):
     out_nodes = {k: (self.node_decoders[k](v)
                      if k in self._decoded_node_keys else v)
                  for k, v in nodes.items()}
+    return out_nodes, edges
+
+  def _streaming_call(self, nodes: NodeFeats, edges: EdgeFeats,
+                      cond: Optional[jnp.ndarray]
+                      ) -> Tuple[NodeFeats, EdgeFeats]:
+    """Single-step forward with edges processed in fixed-size chunks.
+
+    Numerically equivalent to the dense path for 1-step graphs, except
+    output edge latents are not produced (returned as the raw inputs).
+    """
+    chunk = self.edge_chunk_size
+    node_lat = {k: (self.node_embedders[k](v, cond)
+                    if k in self._embedded_node_keys else v)
+                for k, v in nodes.items()}
+    processor = self.processors[0]
+
+    agg = {}
+    for topo in self.topologies:
+      raw_e = edges[topo.name]
+      e, b = raw_e.shape[0], raw_e.shape[1]
+      n_chunks = -(-e // chunk)
+      pad = n_chunks * chunk - e
+      raw_p = jnp.pad(raw_e, ((0, pad), (0, 0), (0, 0)))
+      send_p = jnp.pad(jnp.asarray(topo.senders), (0, pad))
+      recv_p = jnp.pad(jnp.asarray(topo.receivers), (0, pad))
+      valid = jnp.pad(jnp.ones(e, raw_e.dtype), (0, pad))
+
+      latent = self.edge_latent_size[topo.name]
+      acc_dtype = jnp.float32 if self.f32_aggregation else raw_e.dtype
+      acc0 = jnp.zeros((self.num_nodes[topo.receiver_set], b, latent),
+                       acc_dtype)
+      sender_lat = node_lat[topo.sender_set]
+      receiver_lat = node_lat[topo.receiver_set]
+      embed = (self.edge_embedders[topo.name]
+               if topo.name in self._embedded_edge_keys else None)
+      edge_mlp = processor.edge_mlps[topo.name]
+
+      def body(acc, xs, embed=embed, edge_mlp=edge_mlp,
+               sender_lat=sender_lat, receiver_lat=receiver_lat):
+        raw_c, s_idx, r_idx, v_c = xs
+        e_lat = embed(raw_c, cond) if embed is not None else raw_c
+        concat = jnp.concatenate(
+            [e_lat, sender_lat[s_idx], receiver_lat[r_idx]], axis=-1)
+        msg = edge_mlp(concat, cond) * v_c[:, None, None]
+        return acc.at[r_idx].add(msg.astype(acc.dtype)), ()
+
+      xs = (raw_p.reshape(n_chunks, chunk, b, -1),
+            send_p.reshape(n_chunks, chunk),
+            recv_p.reshape(n_chunks, chunk),
+            valid.reshape(n_chunks, chunk))
+      acc, _ = jax.lax.scan(body, acc0, xs)
+      if self.aggregate_normalization is not None:
+        acc = acc / self.aggregate_normalization
+      agg[topo.name] = acc.astype(raw_e.dtype)
+
+    new_nodes = {}
+    for name, mlp in processor.node_mlps.items():
+      parts = [node_lat[name]]
+      for topo in self.topologies:
+        if topo.receiver_set == name:
+          parts.append(agg[topo.name])
+      update = mlp(jnp.concatenate(parts, axis=-1), cond)
+      new_nodes[name] = node_lat[name] + update
+
+    out_nodes = {k: (self.node_decoders[k](v)
+                     if k in self._decoded_node_keys else v)
+                 for k, v in new_nodes.items()}
     return out_nodes, edges
