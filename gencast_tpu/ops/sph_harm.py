@@ -42,19 +42,23 @@ def legendre_table(x: np.ndarray, max_l: int) -> np.ndarray:
   p = np.zeros((lmax + 1, lmax + 1, nx), dtype=np.float64)
   s = np.sqrt(np.maximum(0.0, 1.0 - x * x))  # sin(theta)
 
-  # Diagonal: Q_{mm}.
+  # Diagonal: Q_{mm} (sequential in m).
   p[0, 0] = 1.0 / np.sqrt(4.0 * np.pi)
   for m in range(1, lmax + 1):
     p[m, m] = -np.sqrt((2 * m + 1) / (2.0 * m)) * s * p[m - 1, m - 1]
-  # First off-diagonal: Q_{m+1,m} = x sqrt(2m+3) Q_{mm}.
-  for m in range(lmax):
-    p[m + 1, m] = x * np.sqrt(2 * m + 3.0) * p[m, m]
-  # Upward recursion in l.
-  for m in range(lmax + 1):
-    for l in range(m + 2, lmax + 1):
+
+  # Upward recursion in l, vectorized over all m < l (O(L) numpy calls
+  # instead of O(L^2) — the difference between ~10 minutes and ~2 seconds
+  # at the 0.25-degree scale, L=719).
+  for l in range(1, lmax + 1):
+    # First off-diagonal: Q_{l, l-1} = x sqrt(2l+1) Q_{l-1, l-1}.
+    p[l, l - 1] = x * np.sqrt(2.0 * l + 1.0) * p[l - 1, l - 1]
+    if l >= 2:
+      m = np.arange(l - 1, dtype=np.float64)
       a = np.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
       b = np.sqrt(((l - 1.0) ** 2 - m * m) / (4.0 * (l - 1.0) ** 2 - 1.0))
-      p[l, m] = a * (x * p[l - 1, m] - b * p[l - 2, m])
+      p[l, :l - 1] = a[:, None] * (x[None, :] * p[l - 1, :l - 1]
+                                   - b[:, None] * p[l - 2, :l - 1])
 
   # Fold in sqrt(2) for m >= 1 (real-harmonic normalization).
   p[:, 1:] *= np.sqrt(2.0)
