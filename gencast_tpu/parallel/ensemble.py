@@ -63,6 +63,33 @@ def ensemble_rollout(model: nnx.Module,
   return run(state, inputs, forcings, keys)
 
 
+def ensemble_statistics(members: jnp.ndarray,
+                        mesh: Optional[Mesh] = None):
+  """Mean and spread over the (possibly 'ensemble'-sharded) member axis.
+
+  The only cross-member communication GenCast needs: under a mesh, XLA
+  lowers the reductions to psums over ICI along the 'ensemble' axis
+  (SURVEY §2.3). Returns (mean, std) with the member axis reduced,
+  replicated across the ensemble axis.
+  """
+  def stats(m):
+    mean = m.mean(axis=0)
+    std = m.std(axis=0, ddof=1) if m.shape[0] > 1 else jnp.zeros_like(mean)
+    return mean, std
+
+  if mesh is None:
+    return stats(members)
+
+  @jax.jit
+  def run(m):
+    mean, std = stats(m)
+    repl = NamedSharding(mesh, P())
+    return (jax.lax.with_sharding_constraint(mean, repl),
+            jax.lax.with_sharding_constraint(std, repl))
+
+  return run(members)
+
+
 def ensemble_sample(model: nnx.Module,
                     inputs: jnp.ndarray,
                     forcings: jnp.ndarray,
