@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Dict, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from gencast_tpu.ops import solar

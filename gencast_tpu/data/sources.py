@@ -20,9 +20,8 @@ import dataclasses
 import glob
 import json
 import os
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, Sequence
 
-import jax
 import numpy as np
 
 from gencast_tpu.data import forcings as forcings_lib

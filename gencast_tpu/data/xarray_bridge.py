@@ -14,7 +14,7 @@ pipeline convert losslessly.
 
 from __future__ import annotations
 
-from typing import Mapping, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -21,7 +21,7 @@ import dataclasses
 import hashlib
 import os
 import pickle
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 from scipy import sparse

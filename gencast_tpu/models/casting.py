@@ -11,13 +11,11 @@ aggregation still run in f32 via the precision guards
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import flax.nnx as nnx
 import jax
 import jax.numpy as jnp
 
-from gencast_tpu.nn.variables import StaticData
 
 
 def cast_params(model: nnx.Module, dtype=jnp.bfloat16) -> nnx.Module:

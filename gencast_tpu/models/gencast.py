@@ -10,7 +10,7 @@ reference — see SURVEY §5 defect 1) generated inside the loop on device.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Mapping, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.nnx as nnx
 import jax

@@ -16,7 +16,6 @@ from typing import Dict, Optional, Tuple
 import flax.nnx as nnx
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from gencast_tpu.data import layout as layout_lib
 from gencast_tpu.data.registry import TaskSpec

@@ -9,15 +9,23 @@ device ops that XLA fuses into the surrounding computation.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import flax.nnx as nnx
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from gencast_tpu.data import layout as layout_lib
 from gencast_tpu.nn.variables import StaticData
+
+
+def find_layout_provider(model: nnx.Module):
+  """Walks wrapper nesting (wrappers hold .predictor, GenCast holds
+  .denoiser) to the module exposing input/target/forcing layouts."""
+  d = model
+  while not hasattr(d, 'input_layout'):
+    d = d.denoiser if hasattr(d, 'denoiser') else d.predictor
+  return d
 
 
 class InputsAndResiduals(nnx.Module):
@@ -30,9 +38,7 @@ class InputsAndResiduals(nnx.Module):
 
   def __init__(self, predictor: nnx.Module, stats: layout_lib.Stats):
     self.predictor = predictor
-    d = predictor
-    while not hasattr(d, 'input_layout'):
-      d = d.denoiser if hasattr(d, 'denoiser') else d.predictor
+    d = find_layout_provider(predictor)
     in_lay, tgt_lay, frc_lay = (d.input_layout, d.target_layout,
                                 d.forcing_layout)
 
@@ -124,9 +130,7 @@ class NaNCleaner(nnx.Module):
                fill_value: float, reintroduce_nans: bool = False):
     self.predictor = predictor
     self.reintroduce_nans = reintroduce_nans
-    d = predictor
-    while not hasattr(d, 'input_layout'):
-      d = d.denoiser if hasattr(d, 'denoiser') else d.predictor
+    d = find_layout_provider(predictor)
     self._masks = nnx.Dict()
     for role, lay in (('inputs', d.input_layout),
                       ('targets', d.target_layout),

@@ -69,13 +69,16 @@ def tsi_for_times(seconds_since_epoch, table=None):
                     jnp.asarray(tsi_tab))
 
 
-def _orbital_parameters(j2000_days):
+def _orbital_parameters(days_int, day_frac):
   """Declination, equation of time, Earth-Sun distance.
 
-  Empirical polynomials matching the ERA5/IFS radiation scheme.
+  Empirical polynomials matching the ERA5/IFS radiation scheme. The J2000
+  timestamp arrives split into whole days + fractional day so the
+  rotational phase (which drives the hour angle) keeps full precision in
+  f32 — a raw f32 day count ~9500 would quantize the phase to ~80 s.
   """
-  theta = j2000_days / _JULIAN_YEAR_DAYS
-  rotational_phase = j2000_days % 1.0
+  theta = (days_int + day_frac) / _JULIAN_YEAR_DAYS
+  rotational_phase = day_frac % 1.0
 
   rel = 1.7535 + 6.283076 * theta
   rem = 6.240041 + 6.283020 * theta
@@ -102,9 +105,10 @@ def _orbital_parameters(j2000_days):
           eq_of_time_seconds, solar_distance_au)
 
 
-def radiation_flux(j2000_days, sin_lat, cos_lat, lon_rad, tsi):
+def radiation_flux(days_int, day_frac, sin_lat, cos_lat, lon_rad, tsi):
   """Instantaneous TOA flux in W/m^2; inputs broadcast together."""
-  (rot, sin_dec, cos_dec, eqt, dist) = _orbital_parameters(j2000_days)
+  (rot, sin_dec, cos_dec, eqt, dist) = _orbital_parameters(days_int,
+                                                           day_frac)
   solar_time = rot + eqt / _SECONDS_PER_DAY
   hour_angle = 2.0 * jnp.pi * solar_time + lon_rad
   sin_altitude = (cos_lat * cos_dec * jnp.cos(hour_angle)
@@ -114,7 +118,7 @@ def radiation_flux(j2000_days, sin_lat, cos_lat, lon_rad, tsi):
 
 @functools.partial(jax.jit, static_argnames=('integration_period_s',
                                              'num_bins'))
-def integrated_radiation(j2000_days, sin_lat, cos_lat, lon_rad, tsi,
+def integrated_radiation(days_int, day_frac, sin_lat, cos_lat, lon_rad, tsi,
                          integration_period_s: int = 3600,
                          num_bins: int = 360):
   """TOA radiation integrated over the trailing period (J/m^2), trapezoid
@@ -122,7 +126,8 @@ def integrated_radiation(j2000_days, sin_lat, cos_lat, lon_rad, tsi,
   offsets = jnp.linspace(-integration_period_s / _SECONDS_PER_DAY, 0.0,
                          num_bins + 1)
   fluxes = radiation_flux(
-      jnp.expand_dims(j2000_days, -1) + offsets,
+      jnp.expand_dims(days_int, -1),
+      jnp.expand_dims(day_frac, -1) + offsets,
       jnp.expand_dims(sin_lat, -1), jnp.expand_dims(cos_lat, -1),
       jnp.expand_dims(lon_rad, -1), jnp.expand_dims(tsi, -1))
   dx = integration_period_s / num_bins
@@ -140,15 +145,22 @@ def tisr_for_grid(seconds_since_epoch: np.ndarray,
   epoch (ERA5 `tisr` semantics).
   """
   secs = np.asarray(seconds_since_epoch, dtype=np.float64)
-  j2000 = jnp.asarray(secs / _SECONDS_PER_DAY + _UNIX_TO_J2000_DAYS)
+  # Split into whole days + fractional day on the host in f64 (exact), so
+  # f32 device math keeps sub-second phase precision.
+  days = secs / _SECONDS_PER_DAY + _UNIX_TO_J2000_DAYS
+  days_int = np.floor(days)
+  day_frac = days - days_int
   if tsi is None:
     tsi = tsi_for_times(secs)
-  lat = jnp.deg2rad(jnp.asarray(lat_deg, jnp.float64))
-  lon = jnp.deg2rad(jnp.asarray(lon_deg, jnp.float64))
-  sin_lat = jnp.sin(lat)[None, :, None]
-  cos_lat = jnp.cos(lat)[None, :, None]
-  lon_b = lon[None, None, :]
+  lat = np.deg2rad(np.asarray(lat_deg, np.float64))
+  lon = np.deg2rad(np.asarray(lon_deg, np.float64))
+  sin_lat = jnp.asarray(np.sin(lat), jnp.float32)[None, :, None]
+  cos_lat = jnp.asarray(np.cos(lat), jnp.float32)[None, :, None]
+  lon_b = jnp.asarray(lon, jnp.float32)[None, None, :]
   out = integrated_radiation(
-      j2000[:, None, None], sin_lat, cos_lat, lon_b, tsi[:, None, None],
+      jnp.asarray(days_int, jnp.float32)[:, None, None],
+      jnp.asarray(day_frac, jnp.float32)[:, None, None],
+      sin_lat, cos_lat, lon_b,
+      jnp.asarray(tsi, jnp.float32)[:, None, None],
       integration_period_s=integration_period_s, num_bins=num_bins)
   return out.astype(jnp.float32)

@@ -26,7 +26,9 @@ def ensemble_rollout(model: nnx.Module,
                      forcings: jnp.ndarray,      # [K, B, lat, lon, C_frc]
                      key: jax.Array,
                      num_members: int,
-                     mesh: Optional[Mesh] = None) -> jnp.ndarray:
+                     mesh: Optional[Mesh] = None,
+                     teacher_targets: Optional[jnp.ndarray] = None
+                     ) -> jnp.ndarray:
   """The GenCast production workload: a K-step autoregressive ensemble
   forecast, members sharded over the 'ensemble' mesh axis.
 
@@ -52,7 +54,8 @@ def ensemble_rollout(model: nnx.Module,
       def predict(x, frc, kk):
         return m.sample(x, frc, kk)
 
-      return rollout_lib.rollout(predict, inputs, forcings, maps, k)
+      return rollout_lib.rollout(predict, inputs, forcings, maps, k,
+                                 teacher_targets=teacher_targets)
 
     out = jax.vmap(one)(keys)  # [M, K, B, lat, lon, C]
     if mesh is not None:

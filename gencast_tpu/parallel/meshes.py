@@ -15,7 +15,6 @@ hand-written NCCL/pmean as in torch-style frameworks.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import flax.nnx as nnx
 import jax

@@ -9,7 +9,6 @@ carry; forcings for all lead times are precomputed as one tensor.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import flax.nnx as nnx
@@ -76,10 +75,8 @@ def rollout(predict_fn: PredictFn,
 
 
 def _find_layouts(model: nnx.Module):
-  d = model
-  while not hasattr(d, 'input_layout'):
-    d = d.denoiser if hasattr(d, 'denoiser') else d.predictor
-  return d
+  from gencast_tpu.models.wrappers import find_layout_provider
+  return find_layout_provider(model)
 
 
 def autoregressive_loss(model: nnx.Module,

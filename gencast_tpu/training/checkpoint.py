@@ -13,10 +13,9 @@ keeping checkpoints small and portable across grid changes.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.nnx as nnx
-import jax
 import orbax.checkpoint as ocp
 
 from gencast_tpu.nn.variables import StaticData

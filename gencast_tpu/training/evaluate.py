@@ -126,17 +126,17 @@ def main(argv=None):
              else None)
 
   key = jax.random.PRNGKey(args.seed)
-  members = []
-  for m in range(args.num_members if args.model == 'gencast' else 1):
-    if args.model == 'graphcast':
-      preds = rollout_lib.predict_rollout(wrapped, inputs, forcings,
-                                          teacher_targets=teacher)
-    else:
-      preds = rollout_lib.sample_rollout(
-          wrapped, inputs, forcings, jax.random.fold_in(key, m),
-          teacher_targets=teacher)
-    members.append(np.asarray(preds[:, 0]))  # [K, lat, lon, C]
-  preds = np.stack(members)                  # [M, K, lat, lon, C]
+  if args.model == 'graphcast':
+    preds = rollout_lib.predict_rollout(wrapped, inputs, forcings,
+                                        teacher_targets=teacher)
+    preds = np.asarray(preds[:, 0])[None]    # [M=1, K, lat, lon, C]
+  else:
+    # All members in one traced program (vmapped over member keys).
+    from gencast_tpu.parallel import ensemble as ensemble_lib
+    out = ensemble_lib.ensemble_rollout(
+        wrapped, inputs, forcings, key, num_members=args.num_members,
+        teacher_targets=teacher)
+    preds = np.asarray(out[:, :, 0])         # [M, K, lat, lon, C]
   ens_mean = preds.mean(axis=0)
 
   d = model.denoiser if hasattr(model, 'denoiser') else model

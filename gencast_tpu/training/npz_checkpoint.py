@@ -10,7 +10,6 @@ self-contained model snapshots (params + configs) independent of orbax.
 from __future__ import annotations
 
 import dataclasses
-import io
 import typing
 from typing import Any, BinaryIO, Optional, Type, TypeVar, Union
 

@@ -6,8 +6,6 @@ Matplotlib-based equivalent of the reference's earthkit-plots helpers
 
 from __future__ import annotations
 
-import os
-from typing import Optional, Sequence
 
 import numpy as np
 

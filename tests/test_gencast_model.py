@@ -45,7 +45,6 @@ def setup():
 def _data(statics, task, batch=2, seed=0):
   rng = np.random.default_rng(seed)
   nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
-  d = model_layouts = {}
   inp = L.build_layout(task.input_variables, task.pressure_levels,
                        task.num_input_frames)
   tgt = L.build_layout(task.target_variables, task.pressure_levels, 1)
