@@ -19,6 +19,7 @@ import dataclasses
 from typing import Optional
 
 import flax.nnx as nnx
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,6 +53,10 @@ class DenoiserConfig:
   # nn/gnn.py:_streaming_call); None keeps the dense path. Required for
   # the 0.25-degree configuration on a single chip.
   edge_chunk_size: Optional[int] = None
+  # Mesh axis name to shard the grid-node axis over (sequence/node
+  # parallelism for paper-scale training). None = no constraint; XLA
+  # inserts the halo collectives implied by the graph edges.
+  node_sharding_axis: Optional[str] = None
 
 
 class DenoiserArchitecture(nnx.Module):
@@ -67,6 +72,7 @@ class DenoiserArchitecture(nnx.Module):
                dense_attention_mask: Optional[np.ndarray] = None):
     cfg = config
     latent = cfg.latent_size
+    self._node_sharding_axis = cfg.node_sharding_axis
     if transformer.d_model != latent:
       raise ValueError(
           f'transformer d_model ({transformer.d_model}) must equal the GNN '
@@ -127,6 +133,15 @@ class DenoiserArchitecture(nnx.Module):
         edge_chunk_size=cfg.edge_chunk_size,
         rngs=rngs)
 
+  def _shard_nodes(self, x: jnp.ndarray) -> jnp.ndarray:
+    """Optionally constrains the node axis onto the configured mesh axis
+    (sequence parallelism; XLA derives the edge-halo collectives)."""
+    if self._node_sharding_axis is None:
+      return x
+    from jax.sharding import PartitionSpec as P
+    return jax.lax.with_sharding_constraint(
+        x, P(self._node_sharding_axis, None, None))
+
   def __call__(self, grid_data: jnp.ndarray,
                cond: jnp.ndarray) -> jnp.ndarray:
     """grid_data: [G, B, C_data]; cond: [B, 16] -> [G, B, out]."""
@@ -137,18 +152,19 @@ class DenoiserArchitecture(nnx.Module):
       return jnp.broadcast_to(feat[:, None, :].astype(dtype),
                               (feat.shape[0], batch, feat.shape[1]))
 
-    grid_in = jnp.concatenate([bcast(self.grid_struct[...]), grid_data], -1)
+    grid_in = self._shard_nodes(
+        jnp.concatenate([bcast(self.grid_struct[...]), grid_data], -1))
     nodes, _ = self.grid2mesh(
         {'grid': grid_in, 'mesh': bcast(self.mesh_struct[...])},
         {'g2m': bcast(self.g2m_edge_feats[...])}, cond)
-    latent_grid, latent_mesh = nodes['grid'], nodes['mesh']
+    latent_grid, latent_mesh = self._shard_nodes(nodes['grid']), nodes['mesh']
 
     latent_mesh = self.processor(latent_mesh, cond).astype(dtype)
 
     nodes, _ = self.mesh2grid(
         {'grid': latent_grid, 'mesh': latent_mesh},
         {'m2g': bcast(self.m2g_edge_feats[...])}, cond)
-    return nodes['grid']
+    return self._shard_nodes(nodes['grid'])
 
 
 class Denoiser(nnx.Module):
