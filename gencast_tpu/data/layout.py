@@ -25,7 +25,7 @@ import numpy as np
 from gencast_tpu.data import registry
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class ChannelLayout:
   """Static channel metadata for one packed tensor.
 
@@ -36,6 +36,11 @@ class ChannelLayout:
     channel_var: [C] index into var_names.
     channel_time: [C] time-frame index within the variable.
     channel_level: [C] index into pressure_levels, or -1 for surface/static.
+
+  Layouts live as static (hashable) metadata inside jitted module
+  graphdefs; the channel index arrays are fully determined by
+  (var_names, pressure_levels, num_times), so equality/hash use only
+  those — a re-created model with the same task hits the jit cache.
   """
   var_names: Tuple[str, ...]
   pressure_levels: Tuple[int, ...]
@@ -43,6 +48,15 @@ class ChannelLayout:
   channel_var: np.ndarray
   channel_time: np.ndarray
   channel_level: np.ndarray
+
+  def __eq__(self, other):
+    return (isinstance(other, ChannelLayout)
+            and self.var_names == other.var_names
+            and self.pressure_levels == other.pressure_levels
+            and self.num_times == other.num_times)
+
+  def __hash__(self):
+    return hash((self.var_names, self.pressure_levels, self.num_times))
 
   @property
   def num_channels(self) -> int:

@@ -23,9 +23,15 @@ from gencast_tpu.nn.mlp import MLP, CondMLP
 from gencast_tpu.ops import segment
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class EdgeTopology:
-  """Static structure of one directed edge set, receivers ascending."""
+  """Static structure of one directed edge set, receivers ascending.
+
+  Lives as static (hashable) metadata inside jitted module graphdefs, so
+  equality/hash must be well-defined for numpy fields — content-based
+  equality lets a re-created model hit the jit cache instead of crashing
+  pytree metadata comparison.
+  """
   name: str
   sender_set: str
   receiver_set: str
@@ -35,6 +41,18 @@ class EdgeTopology:
   @property
   def num_edges(self) -> int:
     return self.senders.shape[0]
+
+  def __eq__(self, other):
+    return (isinstance(other, EdgeTopology)
+            and self.name == other.name
+            and self.sender_set == other.sender_set
+            and self.receiver_set == other.receiver_set
+            and np.array_equal(self.senders, other.senders)
+            and np.array_equal(self.receivers, other.receivers))
+
+  def __hash__(self):
+    return hash((self.name, self.sender_set, self.receiver_set,
+                 self.senders.shape[0]))
 
 
 def _activation(name: str) -> Callable:

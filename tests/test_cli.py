@@ -1,0 +1,30 @@
+"""End-to-end CLI smoke tests (train -> resume -> evaluate) on tiny configs."""
+
+import json
+import os
+
+import pytest
+
+
+@pytest.mark.parametrize('model', ['gencast', 'graphcast'])
+def test_train_and_evaluate_cycle(tmp_path, model):
+  from gencast_tpu.training import evaluate, train
+
+  ckpt = str(tmp_path / 'ckpt')
+  out = str(tmp_path / 'eval')
+  base = ['--model', model, '--preset', 'tiny', '--data', 'synthetic',
+          '--log_every', '2']
+
+  train.main(base + ['--steps', '2', '--ckpt_dir', ckpt,
+                     '--save_every', '2'])
+  # Resume.
+  train.main(base + ['--steps', '3', '--ckpt_dir', ckpt])
+
+  evaluate.main(['--model', model, '--preset', 'tiny', '--data', 'synthetic',
+                 '--ckpt_dir', ckpt, '--max_rollout_steps', '2',
+                 '--out_dir', out, '--num_members', '2'])
+  with open(os.path.join(out, 'metrics.json')) as f:
+    metrics = json.load(f)
+  assert 'rmse' in metrics and metrics['steps'] == 2
+  assert os.path.exists(os.path.join(out, 'rollout.npz'))
+  assert os.path.exists(os.path.join(out, 'triptych_2m_temperature.png'))
