@@ -43,6 +43,10 @@ class ModelSpec:
   stochastic_churn_rate: float = 0.0
   num_noise_levels: int = 20
   edge_chunk_size: Optional[int] = None
+  # Remat transformer blocks in the backward pass: measured ~25% faster
+  # training at nano scale (the bwd is dominated by HBM traffic for saved
+  # attention residuals; recompute is cheaper) and lower activation memory.
+  use_gradient_checkpointing: bool = True
 
 
 # The reference demo model (training/train.py defaults: mesh 4, d_model 256,
@@ -140,7 +144,8 @@ def build_gencast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
   transformer = TransformerConfig(
       d_model=spec.d_model, num_layers=spec.num_layers,
       num_heads=spec.num_heads, attention_type=spec.attention_type,
-      ffw_hidden=spec.ffw_hidden)
+      ffw_hidden=spec.ffw_hidden,
+      use_gradient_checkpointing=spec.use_gradient_checkpointing)
   model = GenCast(
       spec.task, statics, transformer,
       denoiser_config=DenoiserConfig(latent_size=spec.d_model,
