@@ -297,6 +297,117 @@ def test_full_denoiser_parity(statics):
   assert rel < 1e-4, rel
 
 
+def test_full_gencast_denoiser_translation(statics):
+  """translate.gencast_denoiser end to end: reference Denoiser (noise
+  encoder + architecture) -> my Denoiser, including the sigma encoding."""
+  from gencast import denoiser as ref_den
+  import dataclasses as _dc
+  from common import deep_typed_graph_net as _dtgn
+  from gencast import transformer as _rtr
+
+  latent = 24
+  batch = 2
+  lat, lon = statics.grid_lat, statics.grid_lon
+
+  # My Denoiser defines the task shape; reference arch gets matching dims.
+  from gencast_tpu.data import registry
+  from gencast_tpu.models import denoiser as my_den
+  from gencast_tpu.nn.transformer import TransformerConfig
+  task = registry.TaskSpec(
+      input_variables=('2m_temperature', 'temperature', 'year_progress_sin',
+                       'land_sea_mask'),
+      target_variables=('2m_temperature', 'temperature'),
+      forcing_variables=('year_progress_sin',),
+      pressure_levels=(500, 1000),
+      num_input_frames=2)
+  statics_exact = compiler.build_graph_statics(
+      1, lat, lon, attention_k_hop=statics.attention_k_hop,
+      block_size_multiple=1)
+  mine = my_den.Denoiser(
+      task, statics_exact,
+      TransformerConfig(d_model=latent, num_layers=2, num_heads=2,
+                        ffw_hidden=48, attention_type='triblock',
+                        ffw_winit_final_mult=1.0, attn_winit_final_mult=1.0),
+      my_den.DenoiserConfig(latent_size=latent),
+      rngs=nnx.Rngs(9))
+  c_data = (mine.input_layout.num_channels + mine.cond_layout.num_channels)
+  out_size = mine.target_layout.num_channels
+
+  st_cfg = ref_den.SparseTransformerConfig(
+      attention_k_hop=statics.attention_k_hop, d_model=latent,
+      num_layers=2, num_heads=2, attention_type='triblockdiag_mha',
+      ffw_hidden=48, ffw_winit_final_mult=1.0, attn_winit_final_mult=1.0)
+  cfg = ref_den.DenoiserArchitectureConfig(
+      sparse_transformer_config=st_cfg, mesh_size=1, latent_size=latent,
+      hidden_layers=1, node_output_size=out_size)
+  ref = ref_den.Denoiser(None, cfg, rngs=nnx.Rngs(0), gpu_mesh=None)
+  arch = ref.predictor
+  arch._init_mesh_properties()
+  arch._init_grid_properties(grid_lat=lat, grid_lon=lon)
+  arch._data_feature_size = c_data
+  arch._grid2mesh_graph_structure = arch._init_grid2mesh_graph(
+      extra_node_features_size=c_data)
+  arch._mesh_graph_structure = arch._init_mesh_graph()
+  arch._mesh2grid_graph_structure = arch._init_mesh2grid_graph()
+  arch.grid2mesh_gnn = _dtgn.DeepTypedGraphNet(
+      activation='swish', aggregate_normalization=None,
+      edge_latent_size=dict(grid2mesh=latent), embed_edges=True,
+      embed_nodes=True, f32_aggregation=True,
+      include_sent_messages_in_node_update=False,
+      mlp_hidden_size=latent, mlp_num_hidden_layers=1,
+      node_latent_size=dict(grid_nodes=latent, mesh_nodes=latent),
+      node_output_size=None, num_message_passing_steps=1,
+      use_layer_norm=True, use_norm_conditioning=True,
+      rngs=nnx.Rngs(1), gpu_mesh=None,
+      graph_template=arch._grid2mesh_graph_structure)
+  arch.mesh_gnn = _rtr.MeshTransformer(
+      transformer_kwargs=_dc.asdict(st_cfg), rngs=nnx.Rngs(2),
+      gpu_mesh=None, graph_template=arch._mesh_graph_structure)
+  arch.mesh2grid_gnn = _dtgn.DeepTypedGraphNet(
+      activation='swish', edge_latent_size=dict(mesh2grid=latent),
+      embed_nodes=False, f32_aggregation=False,
+      include_sent_messages_in_node_update=False,
+      mlp_hidden_size=latent, mlp_num_hidden_layers=1,
+      node_latent_size=dict(grid_nodes=latent, mesh_nodes=latent),
+      node_output_size=dict(grid_nodes=out_size),
+      num_message_passing_steps=1, use_layer_norm=True,
+      use_norm_conditioning=True, rngs=nnx.Rngs(3), gpu_mesh=None,
+      graph_template=arch._mesh2grid_graph_structure)
+  arch._initialized = True
+
+  # Reference-shaped state dict {noise_level_encoder, predictor} -> mine.
+  ref_state = {
+      'noise_level_encoder': _pure(ref.noise_level_encoder),
+      'predictor': {
+          'grid2mesh_gnn': _pure(arch.grid2mesh_gnn),
+          'mesh_gnn': _pure(arch.mesh_gnn),
+          'mesh2grid_gnn': _pure(arch.mesh2grid_gnn),
+      },
+  }
+  _load(mine, translate.gencast_denoiser(ref_state))
+
+  # Compare: sigma encoding + full architecture on identical node data.
+  rng = np.random.default_rng(11)
+  sigma = jnp.asarray([0.5, 7.0], jnp.float32)
+  enc_ref = ref.noise_level_encoder(sigma)
+  enc_my = mine.noise_encoder(sigma)
+  np.testing.assert_allclose(np.asarray(enc_my), np.asarray(enc_ref),
+                             atol=1e-6, rtol=1e-6)
+
+  grid_feats = jnp.asarray(
+      rng.standard_normal((statics.num_grid_nodes, batch, c_data)),
+      jnp.float32)
+  cond = enc_my
+  lm, lg = arch._run_grid2mesh_gnn(grid_feats, cond)
+  um = arch._run_mesh_gnn(lm, cond)
+  ref_out = arch._run_mesh2grid_gnn(um, lg, cond)
+  my_out = mine.architecture(grid_feats, cond)
+  rel = (np.abs(np.asarray(my_out) - np.asarray(ref_out)).max()
+         / (np.abs(np.asarray(ref_out)).max() + 1e-12))
+  print(f'gencast denoiser translation rel err {rel:.2e}')
+  assert rel < 1e-4, rel
+
+
 if __name__ == '__main__':
   assert not __import__('flax').config.flax_pytree_module, \
       'run with FLAX_PYTREE_MODULE=false'
@@ -309,3 +420,5 @@ if __name__ == '__main__':
   print('transformer parity OK')
   test_full_denoiser_parity(statics)
   print('FULL DENOISER parity OK (<=1e-4 relative)')
+  test_full_gencast_denoiser_translation(statics)
+  print('GENCAST DENOISER translation parity OK')
