@@ -33,6 +33,9 @@ class GraphCastConfig:
   hidden_layers: int = 1
   radius_query_fraction_edge_length: float = 0.6
   mesh2grid_edge_normalization_factor: Optional[float] = None
+  # Streamed edge processing for the 1-step encoder/decoder GNNs (see
+  # nn/gnn.py); required at paper scale on a single chip.
+  edge_chunk_size: Optional[int] = None
 
 
 # Reference loss weights (graphcast/graphcast.py:404-416).
@@ -95,6 +98,7 @@ class GraphCast(nnx.Module):
         edge_latent_size={'g2m': latent},
         num_message_passing_steps=1,
         f32_aggregation=True,
+        edge_chunk_size=cfg.edge_chunk_size,
         **common)
 
     self.mesh_gnn = TypedGraphNet(
@@ -124,6 +128,7 @@ class GraphCast(nnx.Module):
         embed_nodes=False,
         node_output_sizes={'grid': self.target_layout.num_channels},
         f32_aggregation=False,
+        edge_chunk_size=cfg.edge_chunk_size,
         **common)
 
     lat_w = layout_lib.latitude_weights(statics.grid_lat)
