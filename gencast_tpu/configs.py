@@ -42,6 +42,9 @@ class ModelSpec:
   radius_query_fraction_edge_length: float = 0.6
   stochastic_churn_rate: float = 0.0
   num_noise_levels: int = 20
+  # Storage dtype of the spherical-harmonic noise basis ('float32' or
+  # 'bfloat16'); synthesis accumulates in f32 either way.
+  noise_basis_dtype: str = 'float32'
   edge_chunk_size: Optional[int] = None
   # Remat transformer blocks in the backward pass: measured ~25% faster
   # training at nano scale (the bwd is dominated by HBM traffic for saved
@@ -69,7 +72,8 @@ QUARTER_DEG = ModelSpec(
     mesh_splits=6, d_model=512, num_layers=16, num_heads=4,
     attention_k_hop=16, attention_type='pallas',
     stochastic_churn_rate=2.5,
-    edge_chunk_size=256 * 1024)
+    edge_chunk_size=256 * 1024,
+    noise_basis_dtype='bfloat16')
 
 SPECS = {s.name: s for s in (NANO, ONE_DEG, QUARTER_DEG)}
 
@@ -157,5 +161,6 @@ def build_gencast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
           num_noise_levels=spec.num_noise_levels),
       noise_config=NoiseConfig(),
       rngs=rngs if rngs is not None else nnx.Rngs(0),
-      dense_attention_mask=dense_mask)
+      dense_attention_mask=dense_mask,
+      noise_basis_dtype=np.dtype(spec.noise_basis_dtype))
   return model, statics

@@ -75,7 +75,8 @@ class GenCast(nnx.Module):
                sampler_config: SamplerConfig = SamplerConfig(),
                noise_config: NoiseConfig = NoiseConfig(), *,
                rngs: nnx.Rngs,
-               dense_attention_mask: Optional[np.ndarray] = None):
+               dense_attention_mask: Optional[np.ndarray] = None,
+               noise_basis_dtype=np.float32):
     self.task = task
     self.sampler_config = sampler_config
     self.noise_config = noise_config
@@ -84,8 +85,12 @@ class GenCast(nnx.Module):
                              dense_attention_mask=dense_attention_mask)
     self.target_layout = self.denoiser.target_layout
 
+    # The Legendre table is [L+1, L+1, num_lat]; at 0.25 degrees that is
+    # 1.5GB f32, so the paper-scale config stores it bf16 (synthesis still
+    # accumulates f32 on the MXU; see ops/sph_harm.synthesize).
     self._sh_basis = sph_harm.basis_for_grid(statics.grid_lat,
-                                             statics.grid_lon)
+                                             statics.grid_lon,
+                                             dtype=noise_basis_dtype)
     lat_w = layout_lib.latitude_weights(statics.grid_lat)
     chan_w, diag_w = layout_lib.loss_channel_weights(
         self.target_layout, LOSS_WEIGHTS_SURFACE)

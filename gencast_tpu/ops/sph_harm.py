@@ -117,11 +117,21 @@ def basis_for_grid(lat_deg: Sequence[float], lon_deg: Sequence[float],
 
 def synthesize(coeffs: jnp.ndarray,
                basis: SphericalHarmonicBasis) -> jnp.ndarray:
-  """Inverse transform: [..., 2, L+1, L+1] (s=cos/sin, l, m) -> [..., lat, lon]."""
+  """Inverse transform: [..., 2, L+1, L+1] (s=cos/sin, l, m) -> [..., lat, lon].
+
+  With a reduced-precision basis (e.g. bf16, halving the 1.5GB Legendre
+  table at 0.25 degrees) the contractions still accumulate in f32 on the
+  MXU and the result is returned at the coefficients' dtype.
+  """
+  out_dtype = coeffs.dtype
+  bt = basis.legendre.dtype
+  acc = {'preferred_element_type': jnp.float32} if bt != out_dtype else {}
   # Contract l: [..., s, m, lat]
-  g = jnp.einsum('...slm,lmj->...smj', coeffs, basis.legendre)
+  g = jnp.einsum('...slm,lmj->...smj', coeffs.astype(bt), basis.legendre,
+                 **acc)
   # Contract m and s: [..., lat, lon]
-  return jnp.einsum('...smj,smi->...ji', g, basis.fourier)
+  return jnp.einsum('...smj,smi->...ji', g.astype(bt), basis.fourier,
+                    **acc).astype(out_dtype)
 
 
 def sample_isotropic(key: jax.Array,

@@ -83,3 +83,22 @@ def test_jittable_and_dtype():
   out = f(jax.random.PRNGKey(2))
   assert out.dtype == jnp.bfloat16
   assert out.shape == (2, 3, lat.size, lon.size)
+
+
+def test_bf16_basis_matches_f32_basis():
+  # A reduced-precision basis (used at 0.25 deg to halve the 1.5GB
+  # Legendre table) must produce the same noise field up to bf16
+  # rounding: same RNG draws, f32 MXU accumulation.
+  lat = np.arange(-85.0, 85.0 + 1e-6, 10.0)
+  lon = np.arange(0.0, 360.0, 10.0)
+  b32 = sph_harm.basis_for_grid(lat, lon)
+  b16 = sph_harm.basis_for_grid(lat, lon, dtype=np.dtype('bfloat16'))
+  assert b16.legendre.dtype == jnp.bfloat16
+  key = jax.random.PRNGKey(7)
+  n32 = np.asarray(sph_harm.unit_white_noise(key, (8,), b32))
+  n16 = np.asarray(sph_harm.unit_white_noise(key, (8,), b16))
+  assert n16.dtype == np.float32  # f32 accumulation and output
+  # Unit-variance fields; bf16 basis entries carry ~0.4% relative error.
+  assert np.abs(n16 - n32).max() < 0.05
+  assert np.corrcoef(n16.ravel(), n32.ravel())[0, 1] > 0.999
+  assert abs(n16.var() - 1.0) < 0.05
