@@ -50,6 +50,10 @@ class ModelSpec:
   # training at nano scale (the bwd is dominated by HBM traffic for saved
   # attention residuals; recompute is cheaper) and lower activation memory.
   use_gradient_checkpointing: bool = True
+  # 'full' or 'save_attention' (see nn.transformer.TransformerConfig):
+  # 'save_attention' keeps the pallas kernel's fused-VJP residuals and
+  # recomputes only LN/FiLM/FFW in the backward.
+  remat_policy: str = 'full'
 
 
 # The reference demo model (training/train.py defaults: mesh 4, d_model 256,
@@ -64,7 +68,7 @@ ONE_DEG = ModelSpec(
     name='1deg', task=registry.GENCAST_TASK_FULL, resolution_deg=1.0,
     mesh_splits=5, d_model=512, num_layers=16, num_heads=4,
     attention_k_hop=16, attention_type='pallas',
-    stochastic_churn_rate=2.5)
+    stochastic_churn_rate=2.5, remat_policy='save_attention')
 
 # Paper-scale 0.25-degree splits=6 (README.md:157-166).
 QUARTER_DEG = ModelSpec(
@@ -150,7 +154,8 @@ def build_gencast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
       d_model=spec.d_model, num_layers=spec.num_layers,
       num_heads=spec.num_heads, attention_type=spec.attention_type,
       ffw_hidden=spec.ffw_hidden,
-      use_gradient_checkpointing=spec.use_gradient_checkpointing)
+      use_gradient_checkpointing=spec.use_gradient_checkpointing,
+      remat_policy=spec.remat_policy)
   model = GenCast(
       spec.task, statics, transformer,
       denoiser_config=DenoiserConfig(latent_size=spec.d_model,

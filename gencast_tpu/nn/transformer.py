@@ -52,6 +52,25 @@ class TransformerConfig:
   attn_winit_final_mult: float = 0.0
   use_gradient_checkpointing: bool = False
   scan_layers: bool = True
+  # Remat scope when use_gradient_checkpointing is on:
+  #   'full'           — recompute the whole block in the backward (lowest
+  #                      memory; the attention forward runs twice).
+  #   'save_attention' — keep the attention sublayer OUT of the remat
+  #                      region so its residuals (for the pallas kernel:
+  #                      q/k/v/out/lse via the fused custom VJP) are saved
+  #                      and only LN/FiLM/FFW are recomputed. Profiled at
+  #                      1 degree: removes the ~2ms/layer pallas-forward
+  #                      recompute from the backward at ~30MB/layer HBM.
+  #                      Intended for attention_type='pallas'; with
+  #                      'triblock' it saves the O(block^2) softmax
+  #                      intermediates instead, which defeats the remat.
+  remat_policy: str = 'full'
+
+  def __post_init__(self):
+    if self.remat_policy not in ('full', 'save_attention'):
+      raise ValueError(
+          f'remat_policy must be "full" or "save_attention", '
+          f'got {self.remat_policy!r}')
 
   @property
   def head_dim(self) -> int:
@@ -227,13 +246,19 @@ class TransformerBlock(nnx.Module):
     self.film1 = FiLM(cfg.d_model, rngs=rngs)
     self.film2 = FiLM(cfg.d_model, rngs=rngs)
 
+  def attn_half(self, x: jnp.ndarray, cond: jnp.ndarray,
+                attn_args) -> jnp.ndarray:
+    c = cond[:, None, :]
+    return x + self.attn(self.film1(self.ln1(x), c), attn_args)
+
+  def ffw_half(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+    c = cond[:, None, :]
+    return x + self.ffw(self.film2(self.ln2(x), c))
+
   def __call__(self, x: jnp.ndarray, cond: jnp.ndarray,
                attn_args) -> jnp.ndarray:
     # x: [B, N, C]; cond: [B, D].
-    c = cond[:, None, :]
-    x = x + self.attn(self.film1(self.ln1(x), c), attn_args)
-    x = x + self.ffw(self.film2(self.ln2(x), c))
-    return x
+    return self.ffw_half(self.attn_half(x, cond, attn_args), cond)
 
 
 class MeshTransformer(nnx.Module):
@@ -312,17 +337,35 @@ class MeshTransformer(nnx.Module):
       # the fused diffusion sampler).
       graphdef, stacked_state = nnx.split(self.blocks)
 
-      def body(carry, layer_state):
-        block = nnx.merge(graphdef, layer_state)
-        # Keep the carry dtype stable (f32 params promote bf16 activations).
-        return block(carry, cond, attn_args).astype(carry.dtype), None
+      remat = self.cfg.use_gradient_checkpointing
+      save_attn = remat and self.cfg.remat_policy == 'save_attention'
 
-      if self.cfg.use_gradient_checkpointing:
-        body = jax.checkpoint(body)
+      if save_attn:
+        def body(carry, layer_state):
+          block = nnx.merge(graphdef, layer_state)
+          # Attention outside the remat region: its (custom-VJP) residuals
+          # are saved, so the backward reuses them instead of re-running
+          # the attention forward. Only LN/FiLM/FFW are recomputed.
+          mid = block.attn_half(carry, cond, attn_args)
+          out = jax.checkpoint(block.ffw_half)(mid, cond)
+          # Keep the carry dtype stable (f32 params promote bf16
+          # activations).
+          return out.astype(carry.dtype), None
+      else:
+        def body(carry, layer_state):
+          block = nnx.merge(graphdef, layer_state)
+          return block(carry, cond, attn_args).astype(carry.dtype), None
+        if remat:
+          body = jax.checkpoint(body)
       x, _ = jax.lax.scan(body, x, stacked_state)
     else:
       for block in self.blocks:
-        x = block(x, cond, attn_args)
+        if (self.cfg.use_gradient_checkpointing
+            and self.cfg.remat_policy == 'save_attention'):
+          x = jax.checkpoint(block.ffw_half)(
+              block.attn_half(x, cond, attn_args), cond)
+        else:
+          x = block(x, cond, attn_args)
 
     x = self.final_film(self.final_ln(x), cond[:, None, :])
     return jnp.transpose(x, (1, 0, 2))

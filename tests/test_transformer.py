@@ -104,3 +104,42 @@ def test_bf16_path_runs(statics):
   # (param casting) is handled at the model level, not here.
   assert out.shape == (n, 1, 32)
   assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+@pytest.mark.parametrize('attention_type', ['triblock', 'pallas'])
+def test_save_attention_remat_matches_full(statics, attention_type):
+  # remat_policy='save_attention' is a scheduling choice only: outputs and
+  # gradients must be identical (up to roundoff) to full remat.
+  n = statics.num_mesh_nodes
+  x = jax.random.normal(jax.random.PRNGKey(4), (n, 2, 32))
+  cond = jax.random.normal(jax.random.PRNGKey(5), (2, 16))
+
+  def build(policy):
+    cfg = dataclasses.replace(_cfg(attention_type),
+                              use_gradient_checkpointing=True,
+                              remat_policy=policy)
+    mask = statics.attention_mask
+    kw = {}
+    if attention_type == 'pallas':
+      kw['tile_plan'] = compiler_tile_plan(statics)
+    return tr.MeshTransformer(cfg, mask, rngs=nnx.Rngs(0), **kw)
+
+  def compiler_tile_plan(st):
+    from gencast_tpu.ops import sparse_attention
+    from gencast_tpu.graph.compiler import khop_mask_csr
+    csr = khop_mask_csr(st.mesh_edges.senders, st.mesh_edges.receivers,
+                        st.num_mesh_nodes, st.attention_k_hop)
+    return sparse_attention.build_tile_plan(csr, tile=128)
+
+  outs, grads = [], []
+  for policy in ('full', 'save_attention'):
+    model = build(policy)
+    def loss_fn(m):
+      return (m(x, cond) ** 2).mean()
+    outs.append(np.asarray(model(x, cond)))
+    g = nnx.grad(loss_fn)(model)
+    grads.append(jax.tree_util.tree_leaves(g))
+  np.testing.assert_allclose(outs[0], outs[1], atol=1e-6, rtol=1e-6)
+  for ga, gb in zip(grads[0], grads[1]):
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               atol=1e-5, rtol=1e-4)
