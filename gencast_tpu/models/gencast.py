@@ -123,6 +123,19 @@ class GenCast(nnx.Module):
            forcings: jnp.ndarray, key: jax.Array
            ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Per-batch-element EDM loss, and per-variable diagnostics."""
+    (loss, diagnostics), _ = self.loss_and_predictions(inputs, targets,
+                                                       forcings, key)
+    return loss, diagnostics
+
+  def loss_and_predictions(self, inputs: jnp.ndarray, targets: jnp.ndarray,
+                           forcings: jnp.ndarray, key: jax.Array):
+    """EDM loss plus the denoised predictions from the SAME denoiser call.
+
+    The reference runs the denoiser twice here (gencast/gencast.py:221-227,
+    defect 4 in SURVEY §5); one call suffices — the loss's denoised estimate
+    IS the prediction. Enables rollout.autoregressive_loss (multi-step
+    fine-tuning) on GenCast stacks.
+    """
     nc = self.noise_config
     batch = targets.shape[0]
     k_sigma, k_noise = jax.random.split(key)
@@ -143,7 +156,7 @@ class GenCast(nnx.Module):
     diagnostics = losses.per_variable_diagnostics(
         denoised, targets, self.lat_weights[...], self.target_layout,
         self._diag_weights)
-    return loss, diagnostics
+    return (loss, diagnostics), denoised
 
   def __call__(self, inputs, noisy_targets, noise_levels, forcings):
     """Single preconditioned denoiser application."""
@@ -157,7 +170,10 @@ class GenCast(nnx.Module):
     """Draws one sample of the (normalized-space) targets: [B,lat,lon,C].
 
     Second-order DPM-Solver++ 2S with optional stochastic churn, entirely
-    on device (one lax.scan; 2 denoiser calls per noise level).
+    on device: one lax.scan of full 2S steps (2 denoiser calls each) over
+    the first N-1 levels, then the final level peeled out of the scan as a
+    single Euler step — 2N-1 denoiser calls total, matching the
+    reference's short-circuit (dpm_solver_plus_plus_2s.py:140-153).
     """
     sc = self.sampler_config
     batch = inputs.shape[0]
@@ -178,32 +194,37 @@ class GenCast(nnx.Module):
                          dtype=jnp.float32)
       return self._precond_denoise(inputs, forcings, x, sigma_b)
 
+    def churn(x, sigma, churn_rate, step_key):
+      if not use_churn:
+        return x, sigma
+      # Re-inject noise: sigma -> sigma * (1 + gamma)
+      # (gencast/samplers_utils.py:434-452; fixed vs the reference's
+      # broken apply_stochastic_churn_arr call).
+      new_sigma = sigma * (1.0 + churn_rate)
+      extra_std = (jnp.sqrt(jnp.maximum(new_sigma ** 2 - sigma ** 2, 0.0))
+                   * sc.noise_level_inflation_factor)
+      x = x + self._sphere_noise(step_key, batch, x.dtype) * \
+          extra_std.astype(x.dtype)
+      return x, new_sigma
+
     def body(x, per_step):
       sigma, sigma_next, churn_rate, step_key = per_step
-      if use_churn:
-        # Re-inject noise: sigma -> sigma * (1 + gamma)
-        # (gencast/samplers_utils.py:434-452; fixed vs the reference's
-        # broken apply_stochastic_churn_arr call).
-        new_sigma = sigma * (1.0 + churn_rate)
-        extra_std = (jnp.sqrt(jnp.maximum(new_sigma ** 2 - sigma ** 2, 0.0))
-                     * sc.noise_level_inflation_factor)
-        x = x + self._sphere_noise(step_key, batch, x.dtype) * \
-            extra_std.astype(x.dtype)
-        sigma = new_sigma
-
+      x, sigma = churn(x, sigma, churn_rate, step_key)
       sigma_mid = jnp.sqrt(sigma * sigma_next)
       x_denoised = denoise(x, sigma)
       alpha_mid = (sigma_mid / sigma).astype(x.dtype)
       x_mid = alpha_mid * x + (1.0 - alpha_mid) * x_denoised
       x_mid_denoised = denoise(x_mid, sigma_mid)
       alpha_next = (sigma_next / sigma).astype(x.dtype)
-      x_next = alpha_next * x + (1.0 - alpha_next) * x_mid_denoised
-      # Final level (sigma_next == 0): single Euler step to the denoised x.
-      x = jnp.where(sigma_next == 0.0, x_denoised, x_next)
+      x = alpha_next * x + (1.0 - alpha_next) * x_mid_denoised
       return x, ()
 
     num_steps = sc.num_noise_levels
     step_keys = jax.random.split(key, num_steps)
-    xs = (sigmas[:-1], sigmas[1:], churns, step_keys)
-    x_final, _ = jax.lax.scan(body, x0, xs)
-    return x_final
+    # All but the last level take a full 2S step...
+    xs = (sigmas[:-2], sigmas[1:-1], churns[:-1], step_keys[:-1])
+    x, _ = jax.lax.scan(body, x0, xs)
+    # ...and the final level (sigma_next == 0) is a single Euler step to
+    # the denoised state: one call instead of two.
+    x, sigma_last = churn(x, sigmas[-2], churns[-1], step_keys[-1])
+    return denoise(x, sigma_last)

@@ -141,3 +141,95 @@ def test_residual_normalization_roundtrip(setup):
   base = w._residual_base(inputs)
   zero = w._norm_targets(inputs, base)
   np.testing.assert_allclose(np.asarray(zero), 0.0, atol=1e-6)
+
+
+def test_loss_and_predictions_single_denoiser_call(setup, monkeypatch):
+  """loss_and_predictions must reuse the loss's denoiser call (reference
+  defect 4: gencast/gencast.py:221-227 runs the denoiser twice)."""
+  statics, model = setup
+  inputs, targets, forcings = _data(statics, TINY_TASK)
+  key = jax.random.PRNGKey(3)
+
+  from gencast_tpu.models import denoiser as denoiser_mod
+  calls = []
+  orig = denoiser_mod.Denoiser.__call__
+  monkeypatch.setattr(denoiser_mod.Denoiser, '__call__',
+                      lambda self, *a, **kw: (calls.append(1),
+                                              orig(self, *a, **kw))[1])
+  (loss, diags), preds = model.loss_and_predictions(inputs, targets,
+                                                    forcings, key)
+  assert len(calls) == 1
+  assert preds.shape == targets.shape
+  assert bool(jnp.isfinite(preds).all())
+  # Same key -> identical loss through the plain .loss path.
+  loss2, _ = model.loss(inputs, targets, forcings, key)
+  np.testing.assert_array_equal(np.asarray(loss), np.asarray(loss2))
+
+
+def test_sampler_denoiser_call_structure(setup, monkeypatch):
+  """The final noise level is peeled out of the 2S scan: trace-level call
+  count is 2 (scan body) + 1 (peeled Euler step), i.e. 2N-1 executed calls
+  (reference dpm_solver_plus_plus_2s.py:140-153 short-circuit)."""
+  statics, model = setup
+  inputs, _, forcings = _data(statics, TINY_TASK)
+
+  from gencast_tpu.models import denoiser as denoiser_mod
+  calls = []
+  orig = denoiser_mod.Denoiser.__call__
+  monkeypatch.setattr(denoiser_mod.Denoiser, '__call__',
+                      lambda self, *a, **kw: (calls.append(1),
+                                              orig(self, *a, **kw))[1])
+  model.sample(inputs, forcings, jax.random.PRNGKey(4))
+  assert len(calls) == 3  # 2 traced in the scan body + 1 peeled final step
+
+
+def test_sampler_single_level_is_one_euler_step(setup):
+  """With one noise level the sampler is exactly denoise(noise*sigma0)."""
+  import dataclasses as dc
+  statics, model = setup
+  inputs, _, forcings = _data(statics, TINY_TASK)
+  key = jax.random.PRNGKey(5)
+
+  old = model.sampler_config
+  model.sampler_config = dc.replace(old, num_noise_levels=1,
+                                    stochastic_churn_rate=0.0)
+  try:
+    out = model.sample(inputs, forcings, key)
+    from gencast_tpu.models import diffusion_utils
+    sc = model.sampler_config
+    sigma0 = float(diffusion_utils.noise_schedule(
+        sc.max_noise_level, sc.min_noise_level, 1, sc.rho)[0])
+    _, k0 = jax.random.split(key)
+    x0 = model._sphere_noise(k0, inputs.shape[0], jnp.float32) * sigma0
+    expected = model._precond_denoise(
+        inputs, forcings, x0, jnp.full((inputs.shape[0],), sigma0))
+  finally:
+    model.sampler_config = old
+  np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                             rtol=1e-5, atol=1e-5)
+
+
+def test_autoregressive_loss_gencast(setup):
+  """Multi-step AR fine-tuning on a wrapped GenCast stack: finite loss and
+  gradients through the whole 2-step rollout (VERDICT round-1 item 5)."""
+  from gencast_tpu import rollout as R
+  statics, model = setup
+  stats = L.Stats.unit(
+      set(TINY_TASK.input_variables) | set(TINY_TASK.target_variables),
+      TINY_TASK.pressure_levels)
+  wrapped = wrappers.InputsAndResiduals(model, stats)
+  inputs, targets, forcings = _data(statics, TINY_TASK)
+  k_steps = 2
+  tgt_seq = jnp.stack([targets] * k_steps)
+  frc_seq = jnp.stack([forcings] * k_steps)
+
+  def loss_fn(m):
+    loss, diags = R.autoregressive_loss(m, inputs, tgt_seq, frc_seq,
+                                        key=jax.random.PRNGKey(6))
+    return loss.mean(), diags
+
+  (loss, diags), grads = nnx.value_and_grad(loss_fn, has_aux=True)(wrapped)
+  assert np.isfinite(float(loss))
+  assert all(bool(jnp.isfinite(g).all())
+             for g in jax.tree_util.tree_leaves(grads))
+  assert '2m_temperature' in diags
