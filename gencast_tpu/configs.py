@@ -54,6 +54,9 @@ class ModelSpec:
   # 'save_attention' keeps the pallas kernel's fused-VJP residuals and
   # recomputes only LN/FiLM/FFW in the backward.
   remat_policy: str = 'full'
+  # Scatter-free GNN aggregation plans (DenoiserConfig.use_agg_plans):
+  # profiled win at 1 degree+; pointless at nano edge counts.
+  use_agg_plans: bool = False
 
 
 # The reference demo model (training/train.py defaults: mesh 4, d_model 256,
@@ -68,7 +71,8 @@ ONE_DEG = ModelSpec(
     name='1deg', task=registry.GENCAST_TASK_FULL, resolution_deg=1.0,
     mesh_splits=5, d_model=512, num_layers=16, num_heads=4,
     attention_k_hop=16, attention_type='pallas',
-    stochastic_churn_rate=2.5, remat_policy='save_attention')
+    stochastic_churn_rate=2.5, remat_policy='save_attention',
+    use_agg_plans=True)
 
 # Paper-scale 0.25-degree splits=6 (README.md:157-166).
 QUARTER_DEG = ModelSpec(
@@ -160,7 +164,8 @@ def build_gencast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
       spec.task, statics, transformer,
       denoiser_config=DenoiserConfig(latent_size=spec.d_model,
                                      hidden_layers=spec.hidden_layers,
-                                     edge_chunk_size=spec.edge_chunk_size),
+                                     edge_chunk_size=spec.edge_chunk_size,
+                                     use_agg_plans=spec.use_agg_plans),
       sampler_config=SamplerConfig(
           stochastic_churn_rate=spec.stochastic_churn_rate,
           num_noise_levels=spec.num_noise_levels),
