@@ -43,17 +43,21 @@ def rollout(predict_fn: PredictFn,
             inputs: jnp.ndarray,          # [B, lat, lon, C_in]
             forcings: jnp.ndarray,        # [K, B, lat, lon, C_frc]
             maps: layout_lib.RolloutMaps,
-            key: jax.Array,
+            key: Optional[jax.Array] = None,
             teacher_targets: Optional[jnp.ndarray] = None,  # [K, B, ...]
-            ) -> jnp.ndarray:
+            step_keys: Optional[jnp.ndarray] = None,        # [K, key]
+            return_final_inputs: bool = False):
   """K autoregressive steps; returns predictions [K, B, lat, lon, C_tgt].
 
   With teacher_targets, the window advances with ground truth instead of
   the model's own predictions (teacher forcing, as in the reference's
   evaluation loop) while still returning the model predictions.
+  step_keys overrides the internal split(key, K) — chunked callers pass
+  slices of one global split so chunking never changes the sample stream.
   """
   num_steps = forcings.shape[0]
-  step_keys = jax.random.split(key, num_steps)
+  if step_keys is None:
+    step_keys = jax.random.split(key, num_steps)
 
   if teacher_targets is None:
     xs = (forcings, step_keys)
@@ -70,7 +74,9 @@ def rollout(predict_fn: PredictFn,
       preds = predict_fn(carry, frc, k)
       return advance_inputs(carry, truth, frc, maps), preds
 
-  _, predictions = jax.lax.scan(body, inputs, xs)
+  final_inputs, predictions = jax.lax.scan(body, inputs, xs)
+  if return_final_inputs:
+    return predictions, final_inputs
   return predictions
 
 
@@ -139,6 +145,74 @@ def predict_rollout(model: nnx.Module,
   if jit:
     run = jax.jit(run)
   return run(state, inputs, forcings, key, teacher_targets)
+
+
+def chunked_rollout(model: nnx.Module,
+                    inputs: jnp.ndarray,    # [B, lat, lon, C_in]
+                    forcings: jnp.ndarray,  # [K, B, lat, lon, C_frc]
+                    key: Optional[jax.Array] = None,
+                    *,
+                    chunk_size: int,
+                    mode: str = 'sample',
+                    teacher_targets: Optional[jnp.ndarray] = None):
+  """Long rollout in fixed-size jitted chunks with per-chunk host offload.
+
+  The fused single-scan rollout stacks all K step outputs on device —
+  ~10+ GB for a 30-step 0.25-degree forecast, more than one chip holds
+  next to model + statics. This runs ceil(K / chunk_size) executions of
+  one compiled chunk program (K is padded by repeating the final
+  forcing frame, so every chunk has identical shapes and there is exactly
+  one compilation), carrying only the input window on device and copying
+  each chunk's predictions to host while the next chunk computes.
+  Packed-array counterpart of the reference's
+  chunked_prediction_generator (common/rollout.py:245-376).
+
+  Step keys come from one global split(key, K), so results are exactly
+  equal to the unchunked sample_rollout/predict_rollout for any
+  chunk_size. Returns host numpy [K, B, lat, lon, C_tgt].
+  """
+  import numpy as np
+
+  d = _find_layouts(model)
+  maps = layout_lib.rollout_maps(d.input_layout, d.target_layout,
+                                 d.forcing_layout)
+  graphdef, state = nnx.split(model)
+  num_steps = forcings.shape[0]
+  if key is None:
+    key = jax.random.PRNGKey(0)
+  step_keys = jax.random.split(key, num_steps)
+
+  pad = (-num_steps) % chunk_size
+  if pad:
+    def pad_steps(x):
+      return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+    forcings = pad_steps(forcings)
+    step_keys = pad_steps(step_keys)
+    if teacher_targets is not None:
+      teacher_targets = pad_steps(teacher_targets)
+  num_chunks = (num_steps + pad) // chunk_size
+
+  @jax.jit
+  def run_chunk(state, window, frc, keys, tt):
+    m = nnx.merge(graphdef, state)
+    predict = m.sample if mode == 'sample' else (
+        lambda x, f, k: m.predict(x, f, k))
+    return rollout(predict, window, frc, maps, step_keys=keys,
+                   teacher_targets=tt, return_final_inputs=True)
+
+  window = inputs
+  pending = None
+  chunks = []
+  for c in range(num_chunks):
+    sl = slice(c * chunk_size, (c + 1) * chunk_size)
+    tt = teacher_targets[sl] if teacher_targets is not None else None
+    preds, window = run_chunk(state, window, forcings[sl], step_keys[sl], tt)
+    if pending is not None:
+      # Offload the previous chunk while this one computes.
+      chunks.append(jax.device_get(pending))
+    pending = preds
+  chunks.append(jax.device_get(pending))
+  return np.concatenate(chunks, axis=0)[:num_steps]
 
 
 def sample_rollout(model: nnx.Module,

@@ -78,3 +78,44 @@ def test_sample_rollout_shapes_and_teacher_forcing(setup):
   # (teacher-forced window differs from the model's own).
   np.testing.assert_allclose(np.asarray(preds_tf[0]), np.asarray(preds[0]),
                              rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize('chunk_size', [1, 2, 5])
+def test_chunked_rollout_matches_unchunked(setup, chunk_size):
+  """Chunked offload is bit-exact vs the fused scan for any chunk size
+  (including one that does not divide the step count)."""
+  statics, model = setup
+  from gencast_tpu.models import wrappers
+  stats = L.Stats.unit(
+      set(TINY_TASK.input_variables) | set(TINY_TASK.target_variables),
+      TINY_TASK.pressure_levels)
+  wrapped = wrappers.InputsAndResiduals(model, stats)
+  inputs, _, forcings = _data(statics, TINY_TASK)
+  k_steps = 4
+  frc_seq = jnp.stack([forcings + 0.1 * i for i in range(k_steps)])
+  key = jax.random.PRNGKey(3)
+
+  full = np.asarray(R.sample_rollout(wrapped, inputs, frc_seq, key))
+  chunked = R.chunked_rollout(wrapped, inputs, frc_seq, key,
+                              chunk_size=chunk_size)
+  assert isinstance(chunked, np.ndarray)
+  np.testing.assert_array_equal(chunked, full)
+
+
+def test_chunked_rollout_teacher_forcing(setup):
+  statics, model = setup
+  from gencast_tpu.models import wrappers
+  stats = L.Stats.unit(
+      set(TINY_TASK.input_variables) | set(TINY_TASK.target_variables),
+      TINY_TASK.pressure_levels)
+  wrapped = wrappers.InputsAndResiduals(model, stats)
+  inputs, targets, forcings = _data(statics, TINY_TASK)
+  k_steps = 3
+  frc_seq = jnp.stack([forcings] * k_steps)
+  truth_seq = jnp.stack([targets] * k_steps)
+  key = jax.random.PRNGKey(5)
+  full = np.asarray(R.sample_rollout(wrapped, inputs, frc_seq, key,
+                                     teacher_targets=truth_seq))
+  chunked = R.chunked_rollout(wrapped, inputs, frc_seq, key, chunk_size=2,
+                              teacher_targets=truth_seq)
+  np.testing.assert_array_equal(chunked, full)
