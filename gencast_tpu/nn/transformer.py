@@ -10,6 +10,8 @@ block-sparse at fine granularity. Backends (same weights, same math):
 * 'dense'    — full masked attention for small meshes.
 * 'pallas'   — block-sparse flash kernel (gencast_tpu.ops.sparse_attention),
   ~3x faster than triblock at the 1-degree scale.
+* 'triblock_pallas' — fused tri-block kernel (gencast_tpu.ops.
+  banded_attention): triblock's math with flash-style fused softmax/bwd.
 
 The layer stack runs as a `lax.scan` over stacked per-layer parameters
 (one transformer block in the compiled program instead of num_layers
@@ -173,6 +175,32 @@ class TriblockAttention(nnx.Module):
     return self.proj.out(o[:, :n])
 
 
+class TriblockPallasAttention(nnx.Module):
+  """Tri-block-diagonal attention via the fused Pallas kernel
+  (ops/banded_attention.py): same math as TriblockAttention, but the
+  3-block softmax and its backward run fused in VMEM instead of
+  materializing [nb, bs, bs]-shaped probability tensors in HBM (the
+  profiled softmax-bwd multiply_reduce hotspot at nano scale)."""
+
+  def __init__(self, cfg: TransformerConfig, block_size: int,
+               num_padding_nodes: int, *, rngs: nnx.Rngs):
+    self.cfg = cfg
+    self.proj = _QKVProjections(cfg, rngs=rngs)
+    self.block_size = block_size
+    self.num_padding_nodes = num_padding_nodes
+
+  def __call__(self, x: jnp.ndarray, attn_args) -> jnp.ndarray:
+    from gencast_tpu.ops import banded_attention
+    (mask,) = attn_args  # [3, nb, bs, bs] bool
+    cfg = self.cfg
+    n = x.shape[1]
+    x_p = jnp.pad(x, ((0, 0), (0, self.num_padding_nodes), (0, 0)))
+    q, k, v = self.proj.split_heads(x_p)  # [B, Np, H, hd]
+    o = banded_attention.banded_attention(q, k, v, mask, self.block_size)
+    o = o.reshape(o.shape[0], o.shape[1], cfg.num_heads * cfg.head_dim)
+    return self.proj.out(o[:, :n])
+
+
 class DenseAttention(nnx.Module):
   """Full masked attention; reference MHA path
   (gencast/sparse_transformer.py:358-399)."""
@@ -294,7 +322,7 @@ class MeshTransformer(nnx.Module):
       ])
       block_kwargs = {'plan_meta': (tile_plan.tile, tile_plan.num_active_fwd,
                                     tile_plan.num_active_bwd)}
-    elif cfg.attention_type == 'triblock':
+    elif cfg.attention_type in ('triblock', 'triblock_pallas'):
       assert mask is not None
       self.attn_operands = nnx.List([StaticData(jnp.asarray(mask.blocks))])
       block_kwargs = {'block_size': mask.block_size,
@@ -305,6 +333,8 @@ class MeshTransformer(nnx.Module):
     def make_block(block_rngs: nnx.Rngs) -> _Block:
       if cfg.attention_type == 'triblock':
         attn = TriblockAttention(cfg, rngs=block_rngs, **block_kwargs)
+      elif cfg.attention_type == 'triblock_pallas':
+        attn = TriblockPallasAttention(cfg, rngs=block_rngs, **block_kwargs)
       elif cfg.attention_type == 'pallas':
         attn = PallasSparseAttention(cfg, rngs=block_rngs, **block_kwargs)
       else:
