@@ -1,19 +1,27 @@
-"""Benchmark: denoiser forward steps/sec on the flagship nano-GenCast model.
+"""Benchmarks: the north-star metric set on the real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no quantitative numbers (README.md:19, BASELINE.md),
-so vs_baseline is null.
+Prints one JSON line per metric: {"metric", "value", "unit", "vs_baseline"}
+— headline (nano denoiser fwd steps/s) first. The reference publishes no
+quantitative numbers (README.md:19, BASELINE.md), so vs_baseline is null.
 
-Methodology: the denoiser is chained through an on-device lax.scan (output
-feeds the next call's noisy-targets input) and timings are differenced
+Metrics:
+  nano_denoiser_steps_per_sec  — chained denoiser forwards (headline)
+  nano_train_step_ms           — fwd+bwd+AdamW, nano
+  nano_sampler_sec             — 20-level DPM++2S (39 denoiser calls)
+  onedeg_train_step_ms         — fwd+bwd+AdamW, 1-degree splits=5 d=512
+  onedeg_sampler_sec           — 20-level DPM++2S at 1 degree
+
+Methodology: everything except the samplers is chained through an
+on-device lax.scan (output feeds the next call's input) and differenced
 between a 1-rep and an N-rep program with a scalar host readback. This is
 required on this hardware setup: per-call dispatch timings through the
-remote TPU relay are unreliable (repeated identical dispatches get elided).
-
-Secondary diagnostics (full sampler wall-clock) go to stderr.
+remote TPU relay are unreliable (repeated identical dispatches get
+elided). The samplers are already 39-call on-device loops, timed wall-
+clock post-warmup. Set BENCH_SKIP_1DEG=1 to emit only the nano metrics.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -22,35 +30,39 @@ import numpy as np
 REPS = 21
 
 
-def _timed_loop(step_fn, x0, reps, iters=3):
-  """Wall time of `reps` chained step_fn applications inside one jit."""
-  import jax
+def _emit(metric, value, unit):
+  print(json.dumps({'metric': metric, 'value': round(value, 3),
+                    'unit': unit, 'vs_baseline': None}))
+  sys.stdout.flush()
 
-  @jax.jit
-  def loop(x):
-    def body(c, _):
-      return step_fn(c), ()
-    c, _ = jax.lax.scan(body, x, None, length=reps)
-    return c.sum()
 
-  float(loop(x0))  # compile + warm
+def _timed(fn, make_args, iters=3):
+  """Min wall time of fn(*make_args(i)) with a scalar readback, post-warmup.
+
+  make_args must vary per i: identical repeated dispatches through the
+  relay get elided and time near zero.
+  """
+  float(fn(*make_args(-1)))
   times = []
   for i in range(iters):
+    args = make_args(i)
     t0 = time.time()
-    float(loop(x0 + float(i)))
+    float(fn(*args))
     times.append(time.time() - t0)
   return min(times)
 
 
-def main():
+def bench_model(spec, tag, train_reps, fwd=False):
   import flax.nnx as nnx
   import jax
   import jax.numpy as jnp
 
   from gencast_tpu import configs
+  from gencast_tpu.training import steps
 
-  model, statics = configs.build_gencast(configs.NANO, rngs=nnx.Rngs(0))
-  graphdef, state = nnx.split(model)
+  t0 = time.time()
+  model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(0))
+  print(f'[{tag}] model build: {time.time()-t0:.1f}s', file=sys.stderr)
   d = model.denoiser
   nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
   rng = np.random.default_rng(0)
@@ -61,41 +73,78 @@ def main():
   inputs = arr(d.input_layout.num_channels)
   targets = arr(d.target_layout.num_channels)
   forcings = arr(d.forcing_layout.num_channels)
-  sigma = jnp.ones((1,), jnp.float32)
-  m = nnx.merge(graphdef, state)
-
-  def step(noisy):
-    # Chain the denoiser through its own output (sampler-like data flow).
-    return m(inputs, noisy, sigma, forcings)
-
-  t1 = _timed_loop(step, targets, 1)
-  tn = _timed_loop(step, targets, REPS)
-  dt = (tn - t1) / (REPS - 1)
-  steps_per_sec = 1.0 / dt
-  print(f'denoiser fwd: {dt*1000:.2f} ms/step '
-        f'(t1={t1*1000:.0f}ms t{REPS}={tn*1000:.0f}ms)', file=sys.stderr)
-
-  # Secondary: one full 20-level DPM-Solver++2S sampling (39 denoiser calls).
-  @jax.jit
-  def sample(state, inputs, forcings, key):
-    mm = nnx.merge(graphdef, state)
-    return mm.sample(inputs, forcings, key).sum()
-
   key = jax.random.PRNGKey(0)
-  t0 = time.time()
-  float(sample(state, inputs, forcings, key))
-  print(f'sampler compile+run: {time.time()-t0:.1f}s', file=sys.stderr)
-  t0 = time.time()
-  float(sample(state, inputs + 1.0, forcings, key))
-  print(f'sampler (20 levels): {time.time()-t0:.2f}s/forecast-step',
-        file=sys.stderr)
 
-  print(json.dumps({
-      'metric': 'nano_denoiser_steps_per_sec',
-      'value': round(steps_per_sec, 3),
-      'unit': 'steps/s/chip',
-      'vs_baseline': None,
-  }))
+  # --- denoiser forward (chained) ---
+  if fwd:
+    graphdef, state = nnx.split(model)
+    m = nnx.merge(graphdef, state)
+    sigma = jnp.ones((1,), jnp.float32)
+
+    def loop_factory(reps):
+      @jax.jit
+      def loop(x):
+        def body(c, _):
+          return m(inputs, c, sigma, forcings), ()
+        c, _ = jax.lax.scan(body, x, None, length=reps)
+        return c.sum()
+      return loop
+
+    t1 = _timed(loop_factory(1), lambda i: (targets + float(i),))
+    tn = _timed(loop_factory(REPS), lambda i: (targets + float(i),))
+    dt = (tn - t1) / (REPS - 1)
+    print(f'[{tag}] denoiser fwd: {dt*1000:.2f} ms/step', file=sys.stderr)
+    _emit(f'{tag}_denoiser_steps_per_sec', 1.0 / dt, 'steps/s/chip')
+
+  # --- train step (fwd+bwd+AdamW, chained through optimizer state) ---
+  opt = steps.create_optimizer(model, steps.OptimizerConfig())
+  graphdef, state = nnx.split((model, opt))
+
+  def train_loop_factory(reps):
+    @jax.jit
+    def loop(state, inputs):
+      def body(carry, _):
+        mm, oo = nnx.merge(graphdef, carry)
+
+        def loss_fn(m_):
+          loss, _ = m_.loss(inputs, targets, forcings, key)
+          return loss.mean()
+
+        loss, grads = nnx.value_and_grad(loss_fn)(mm)
+        oo.update(mm, grads)
+        _, new_state = nnx.split((mm, oo))
+        return new_state, loss
+      _, losses = jax.lax.scan(body, state, None, length=reps)
+      return losses.sum()
+    return loop
+
+  t1 = _timed(train_loop_factory(1), lambda i: (state, inputs + float(i)))
+  tn = _timed(train_loop_factory(train_reps),
+              lambda i: (state, inputs + float(i)))
+  dt = (tn - t1) / (train_reps - 1)
+  print(f'[{tag}] train step: {dt*1000:.1f} ms', file=sys.stderr)
+  _emit(f'{tag}_train_step_ms', dt * 1000, 'ms/step')
+
+  # --- full sampler (one forecast step: 39 denoiser calls on-device) ---
+  graphdef_m, state_m = nnx.split(model)
+
+  @jax.jit
+  def sample(state, inputs, forcings, k):
+    mm = nnx.merge(graphdef_m, state)
+    return mm.sample(inputs, forcings, k).sum()
+
+  t = _timed(sample, lambda i: (state_m, inputs + float(i), forcings, key),
+             iters=2)
+  print(f'[{tag}] sampler: {t:.2f}s/forecast-step', file=sys.stderr)
+  _emit(f'{tag}_sampler_sec', t, 's/forecast-step')
+
+
+def main():
+  from gencast_tpu import configs
+
+  bench_model(configs.NANO, 'nano', train_reps=REPS, fwd=True)
+  if not os.environ.get('BENCH_SKIP_1DEG'):
+    bench_model(configs.ONE_DEG, 'onedeg', train_reps=9)
 
 
 if __name__ == '__main__':
