@@ -1,0 +1,47 @@
+"""Training metrics sinks: JSONL file and optional wandb.
+
+Role of the reference's wandb scalar logging
+(training/train_helpers.py:366-391, training/train.py:336-403), with a
+dependency-free JSONL sink as the primary path (wandb is not installed in
+air-gapped TPU environments; the flag degrades to a warning).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Optional
+
+
+class MetricsSink:
+  """Appends metric events as JSON lines; optionally mirrors to wandb."""
+
+  def __init__(self, jsonl_path: Optional[str] = None,
+               use_wandb: bool = False, wandb_project: str = 'gencast_tpu',
+               run_config: Optional[dict] = None):
+    self._file = open(jsonl_path, 'a') if jsonl_path else None
+    self._wandb = None
+    if use_wandb:
+      try:
+        import wandb  # type: ignore
+        self._wandb = wandb
+        wandb.init(project=wandb_project, config=run_config or {})
+      except ImportError:
+        print('[metrics] wandb requested but not installed; '
+              'logging to JSONL/stdout only')
+
+  def log(self, event: str, step: int, **values):
+    record = {'event': event, 'step': step, 'time': time.time(), **values}
+    if self._file is not None:
+      self._file.write(json.dumps(record) + '\n')
+      self._file.flush()
+    if self._wandb is not None:
+      self._wandb.log({f'{event}/{k}': v for k, v in values.items()},
+                      step=step)
+
+  def close(self):
+    if self._file is not None:
+      self._file.close()
+      self._file = None
+    if self._wandb is not None:
+      self._wandb.finish()

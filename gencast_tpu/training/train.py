@@ -46,7 +46,8 @@ def parse_args(argv=None):
   p.add_argument('--num_heads', type=int, default=None)
   p.add_argument('--attention_k_hop', type=int, default=None)
   p.add_argument('--attention_type', default=None,
-                 choices=[None, 'triblock', 'dense', 'pallas'])
+                 choices=[None, 'triblock', 'dense', 'pallas',
+                          'triblock_pallas'])
   # Wrappers.
   p.add_argument('--no_normalization', action='store_true',
                  help='skip the InputsAndResiduals wrapper')
@@ -57,6 +58,14 @@ def parse_args(argv=None):
   p.add_argument('--eval_every', type=int, default=500)
   p.add_argument('--do_sampling_eval', action='store_true')
   p.add_argument('--log_every', type=int, default=10)
+  p.add_argument('--metrics_jsonl', default=None,
+                 help='append one JSON line per log/eval event here '
+                      '(role of the reference wandb scalars, '
+                      'train_helpers.py:366-391)')
+  p.add_argument('--wandb', action='store_true',
+                 help='log metrics to wandb (requires the package; '
+                      'falls back to a warning without it)')
+  p.add_argument('--wandb_project', default='gencast_tpu')
   p.add_argument('--profile_dir', default=None,
                  help='capture a jax.profiler trace of steps 10-15 here')
   p.add_argument('--stats_path', default=None,
@@ -175,6 +184,14 @@ def main(argv=None):
       start_step = ckpt_lib.restore(manager, wrapped, optimizer) + 1
       print(f'[train] resumed from step {start_step - 1}')
 
+  from gencast_tpu.training.metrics_sink import MetricsSink
+  sink = MetricsSink(args.metrics_jsonl, use_wandb=args.wandb,
+                     wandb_project=args.wandb_project,
+                     run_config={'preset': spec.name, 'model': args.model,
+                                 'steps': args.steps,
+                                 'batch_size': args.batch_size,
+                                 'lr': args.learning_rate})
+
   it = sources.batch_iterator(source, args.batch_size, seed=args.seed)
   key = jax.random.PRNGKey(args.seed)
 
@@ -237,6 +254,8 @@ def main(argv=None):
       mean_loss = float(jnp.stack(losses).mean())
       print(f'[train] step {step + 1}/{args.steps} '
             f'loss={mean_loss:.4f} {args.log_every / dt:.2f} steps/s')
+      sink.log('train', step + 1, loss=mean_loss,
+               steps_per_sec=args.log_every / dt)
       losses = []
       t_log = time.time()
 
@@ -254,11 +273,13 @@ def main(argv=None):
       rmse = float(jnp.sqrt(jnp.nanmean(
           (preds[0, 0] - jnp.asarray(w.targets)) ** 2)))
       print(f'[train] sampling eval rmse={rmse:.4f}')
+      sink.log('sampling_eval', step + 1, rmse=rmse)
 
   if manager is not None:
     ckpt_lib.save(manager, args.steps - 1, wrapped, optimizer)
     manager.wait_until_finished()
     print(f'[train] final checkpoint at {args.ckpt_dir}')
+  sink.close()
   print('[train] done')
 
 

@@ -12,11 +12,18 @@ def test_train_and_evaluate_cycle(tmp_path, model):
 
   ckpt = str(tmp_path / 'ckpt')
   out = str(tmp_path / 'eval')
+  metrics_jsonl = str(tmp_path / 'metrics.jsonl')
   base = ['--model', model, '--preset', 'tiny', '--data', 'synthetic',
           '--log_every', '2']
 
   train.main(base + ['--steps', '2', '--ckpt_dir', ckpt,
-                     '--save_every', '2'])
+                     '--save_every', '2',
+                     '--metrics_jsonl', metrics_jsonl])
+  # Metrics sink wrote the step-2 train event.
+  with open(metrics_jsonl) as f:
+    events = [json.loads(line) for line in f]
+  assert events and events[0]['event'] == 'train' and events[0]['step'] == 2
+  assert 'loss' in events[0] and 'steps_per_sec' in events[0]
   # Resume.
   train.main(base + ['--steps', '3', '--ckpt_dir', ckpt])
 

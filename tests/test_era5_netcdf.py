@@ -151,3 +151,38 @@ def test_converter_roundtrip(era5_dir, tmp_path):
   assert len(src) == 2
   w = src.sample(0)
   assert np.isfinite(w.inputs).all()
+
+
+def test_check_era5_validator(era5_dir, tmp_path):
+  """tools/check_era5.py passes clean files and fails corrupted ones."""
+  import h5py
+  import importlib.util
+  spec = importlib.util.spec_from_file_location(
+      'check_era5', os.path.join(os.path.dirname(__file__), '..',
+                                 'tools', 'check_era5.py'))
+  check = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(check)
+
+  d, _, _, _ = era5_dir
+  # Fixture grid is 30-degree spacing under 2.5deg file naming.
+  base = [d, '--resolution', '2.5', '--grid_spacing', '30']
+  assert check.main(base + ['--levels', '500', '1000']) == 0
+
+  # Missing level -> non-zero exit.
+  assert check.main(base + ['--levels', '725']) == 1
+
+  # Missing variables only fail under --strict (fixture has t but not q).
+  assert check.main(base + ['--strict']) == 1
+
+  # Corrupt a file: non-monotone latitude.
+  import glob
+  import shutil
+  bad_dir = str(tmp_path / 'bad')
+  shutil.copytree(d, bad_dir)
+  ppath = glob.glob(os.path.join(bad_dir, 'era5_pressure_levels_*.nc'))[0]
+  with h5py.File(ppath, 'a') as f:
+    lat = f['latitude'][...]
+    lat[0], lat[1] = lat[1], lat[0]
+    f['latitude'][...] = lat
+  rc = check.main([bad_dir, '--resolution', '2.5', '--grid_spacing', '30'])
+  assert rc == 1
