@@ -87,10 +87,15 @@ class GenCast(nnx.Module):
 
     # The Legendre table is [L+1, L+1, num_lat]; at 0.25 degrees that is
     # 1.5GB f32, so the paper-scale config stores it bf16 (synthesis still
-    # accumulates f32 on the MXU; see ops/sph_harm.synthesize).
-    self._sh_basis = sph_harm.basis_for_grid(statics.grid_lat,
-                                             statics.grid_lon,
-                                             dtype=noise_basis_dtype)
+    # accumulates f32 on the MXU; see ops/sph_harm.synthesize). The tables
+    # live as StaticData (traced operands): a plain attribute would be
+    # baked into the HLO as a constant, which at 0.25 degrees exceeds the
+    # compile-request limits of remote TPU runtimes.
+    basis = sph_harm.basis_for_grid(statics.grid_lat, statics.grid_lon,
+                                    dtype=noise_basis_dtype)
+    self._sh_legendre = StaticData(basis.legendre)
+    self._sh_fourier = StaticData(basis.fourier)
+    self._sh_max_l = basis.max_l
     lat_w = layout_lib.latitude_weights(statics.grid_lat)
     chan_w, diag_w = layout_lib.loss_channel_weights(
         self.target_layout, LOSS_WEIGHTS_SURFACE)
@@ -112,9 +117,11 @@ class GenCast(nnx.Module):
   def _sphere_noise(self, key, batch: int, dtype) -> jnp.ndarray:
     """Unit-variance isotropic noise, one independent field per channel:
     [B, lat, lon, C]."""
+    basis = sph_harm.SphericalHarmonicBasis(
+        legendre=self._sh_legendre[...], fourier=self._sh_fourier[...],
+        max_l=self._sh_max_l)
     n = sph_harm.unit_white_noise(
-        key, (batch, self.target_layout.num_channels), self._sh_basis,
-        dtype=dtype)
+        key, (batch, self.target_layout.num_channels), basis, dtype=dtype)
     return jnp.moveaxis(n, 1, -1)
 
   # --- Training loss (gencast/gencast.py:229-280) ---

@@ -36,6 +36,10 @@ class GraphCastConfig:
   # Streamed edge processing for the 1-step encoder/decoder GNNs (see
   # nn/gnn.py); required at paper scale on a single chip.
   edge_chunk_size: Optional[int] = None
+  # Scatter-free GNN aggregation on skewed edge sets (see
+  # DenoiserConfig.use_agg_plans / ops/segment.py).
+  use_agg_plans: bool = False
+  agg_plan_min_degree: int = 32
 
 
 # Reference loss weights (graphcast/graphcast.py:404-416).
@@ -50,6 +54,14 @@ LOSS_WEIGHTS_SURFACE = {
 
 class GraphCast(nnx.Module):
   """Deterministic predictor over packed [B, lat, lon, C] tensors."""
+
+  @staticmethod
+  def _plan(topo: EdgeTopology, num_senders: int, num_receivers: int,
+            cfg: GraphCastConfig) -> EdgeTopology:
+    if not cfg.use_agg_plans:
+      return topo
+    return topo.with_agg_plans(num_senders, num_receivers,
+                               min_max_degree=cfg.agg_plan_min_degree)
 
   def __init__(self, task: TaskSpec, statics: GraphStatics,
                config: GraphCastConfig = GraphCastConfig(), *,
@@ -88,9 +100,11 @@ class GraphCast(nnx.Module):
                   use_norm_conditioning=False, rngs=rngs)
 
     self.grid2mesh = TypedGraphNet(
-        topologies=[EdgeTopology('g2m', 'grid', 'mesh',
-                                 statics.grid2mesh.senders,
-                                 statics.grid2mesh.receivers)],
+        topologies=[self._plan(
+            EdgeTopology('g2m', 'grid', 'mesh',
+                         statics.grid2mesh.senders,
+                         statics.grid2mesh.receivers),
+            statics.num_grid_nodes, statics.num_mesh_nodes, cfg)],
         num_nodes=num_nodes,
         node_input_sizes={'grid': 3 + num_data, 'mesh': 3},
         edge_input_sizes={'g2m': 4},
@@ -102,9 +116,11 @@ class GraphCast(nnx.Module):
         **common)
 
     self.mesh_gnn = TypedGraphNet(
-        topologies=[EdgeTopology('mesh', 'mesh', 'mesh',
-                                 statics.multimesh_edges.senders,
-                                 statics.multimesh_edges.receivers)],
+        topologies=[self._plan(
+            EdgeTopology('mesh', 'mesh', 'mesh',
+                         statics.multimesh_edges.senders,
+                         statics.multimesh_edges.receivers),
+            statics.num_mesh_nodes, statics.num_mesh_nodes, cfg)],
         num_nodes={'mesh': statics.num_mesh_nodes},
         node_input_sizes={},
         edge_input_sizes={'mesh': 4},
@@ -116,9 +132,11 @@ class GraphCast(nnx.Module):
         **common)
 
     self.mesh2grid = TypedGraphNet(
-        topologies=[EdgeTopology('m2g', 'mesh', 'grid',
-                                 statics.mesh2grid.senders,
-                                 statics.mesh2grid.receivers)],
+        topologies=[self._plan(
+            EdgeTopology('m2g', 'mesh', 'grid',
+                         statics.mesh2grid.senders,
+                         statics.mesh2grid.receivers),
+            statics.num_mesh_nodes, statics.num_grid_nodes, cfg)],
         num_nodes=num_nodes,
         node_input_sizes={},
         edge_input_sizes={'m2g': 4},

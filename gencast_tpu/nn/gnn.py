@@ -239,9 +239,28 @@ class TypedGraphNet(nnx.Module):
     # encoders at paper scale: 3.1M edges x 1028-wide concats otherwise
     # exceed single-chip HBM). Trades recompute/loop overhead for memory.
     self.edge_chunk_size = edge_chunk_size
+    self.stream_indices = nnx.Dict()
     if edge_chunk_size is not None:
       if num_message_passing_steps != 1 or num_processor_repetitions != 1:
         raise ValueError('edge_chunk_size requires a single-step graph net')
+      # Chunked sender/receiver/validity tables as device buffers: plain
+      # numpy here would be baked into the HLO as multi-MB constants
+      # (fatal for remote-compile payload limits at paper scale).
+      for topo in topologies:
+        e = topo.num_edges
+        n_chunks = -(-e // edge_chunk_size)
+        pad = n_chunks * edge_chunk_size - e
+        send_p = np.pad(topo.senders, (0, pad)).astype(np.int32)
+        recv_p = np.pad(topo.receivers, (0, pad)).astype(np.int32)
+        valid = np.pad(np.ones(e, np.float32), (0, pad))
+        self.stream_indices[topo.name] = nnx.List([
+            StaticData(jnp.asarray(
+                send_p.reshape(n_chunks, edge_chunk_size))),
+            StaticData(jnp.asarray(
+                recv_p.reshape(n_chunks, edge_chunk_size))),
+            StaticData(jnp.asarray(
+                valid.reshape(n_chunks, edge_chunk_size))),
+        ])
     self.f32_aggregation = f32_aggregation
     self.aggregate_normalization = aggregate_normalization
     self.topologies = topologies
@@ -339,9 +358,8 @@ class TypedGraphNet(nnx.Module):
       n_chunks = -(-e // chunk)
       pad = n_chunks * chunk - e
       raw_p = jnp.pad(raw_e, ((0, pad), (0, 0), (0, 0)))
-      send_p = jnp.pad(jnp.asarray(topo.senders), (0, pad))
-      recv_p = jnp.pad(jnp.asarray(topo.receivers), (0, pad))
-      valid = jnp.pad(jnp.ones(e, raw_e.dtype), (0, pad))
+      send_c, recv_c, valid_c = (v[...]
+                                 for v in self.stream_indices[topo.name])
 
       latent = self.edge_latent_size[topo.name]
       acc_dtype = jnp.float32 if self.f32_aggregation else raw_e.dtype
@@ -363,10 +381,12 @@ class TypedGraphNet(nnx.Module):
         return acc.at[r_idx].add(msg.astype(acc.dtype)), ()
 
       xs = (raw_p.reshape(n_chunks, chunk, b, -1),
-            send_p.reshape(n_chunks, chunk),
-            recv_p.reshape(n_chunks, chunk),
-            valid.reshape(n_chunks, chunk))
-      acc, _ = jax.lax.scan(body, acc0, xs)
+            send_c, recv_c, valid_c.astype(raw_e.dtype))
+      # Remat the chunk body: without it AD stacks each chunk's MLP
+      # residuals ([n_chunks, chunk, ~3*latent]) — the full edge tensor
+      # the streaming path exists to avoid. Scan-invariant node latents
+      # are saved once, not per chunk.
+      acc, _ = jax.lax.scan(jax.checkpoint(body), acc0, xs)
       if self.aggregate_normalization is not None:
         acc = acc / self.aggregate_normalization
       agg[topo.name] = acc.astype(raw_e.dtype)
