@@ -57,6 +57,9 @@ class ModelSpec:
   # Scatter-free GNN aggregation plans (DenoiserConfig.use_agg_plans):
   # profiled win at 1 degree+; pointless at nano edge counts.
   use_agg_plans: bool = False
+  # Whole-GNN remat for the encoder/decoder (DenoiserConfig.remat_gnns);
+  # required for the 0.25-degree single-chip training step.
+  remat_gnns: bool = False
 
 
 # The reference demo model (training/train.py defaults: mesh 4, d_model 256,
@@ -81,7 +84,8 @@ QUARTER_DEG = ModelSpec(
     attention_k_hop=16, attention_type='pallas',
     stochastic_churn_rate=2.5,
     edge_chunk_size=256 * 1024,
-    noise_basis_dtype='bfloat16')
+    noise_basis_dtype='bfloat16',
+    remat_gnns=True)
 
 SPECS = {s.name: s for s in (NANO, ONE_DEG, QUARTER_DEG)}
 
@@ -165,7 +169,8 @@ def build_gencast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
       denoiser_config=DenoiserConfig(latent_size=spec.d_model,
                                      hidden_layers=spec.hidden_layers,
                                      edge_chunk_size=spec.edge_chunk_size,
-                                     use_agg_plans=spec.use_agg_plans),
+                                     use_agg_plans=spec.use_agg_plans,
+                                     remat_gnns=spec.remat_gnns),
       sampler_config=SamplerConfig(
           stochastic_churn_rate=spec.stochastic_churn_rate,
           num_noise_levels=spec.num_noise_levels),

@@ -65,6 +65,11 @@ class DenoiserConfig:
   # Minimum segment max-degree for an edge side to get a kernel plan
   # (segment.plan_if_profitable); below it the XLA scatter wins.
   agg_plan_min_degree: int = 32
+  # Remat the encoder/decoder GNNs as whole units: their backward then
+  # recomputes MLP internals instead of saving them (at 0.25 degrees the
+  # grid-node MLP residuals alone are several GB per layer of hidden
+  # state). Required for the paper-scale single-chip training step.
+  remat_gnns: bool = False
 
 
 class DenoiserArchitecture(nnx.Module):
@@ -81,6 +86,7 @@ class DenoiserArchitecture(nnx.Module):
     cfg = config
     latent = cfg.latent_size
     self._node_sharding_axis = cfg.node_sharding_axis
+    self._remat_gnns = cfg.remat_gnns
     if transformer.d_model != latent:
       raise ValueError(
           f'transformer d_model ({transformer.d_model}) must equal the GNN '
@@ -169,17 +175,34 @@ class DenoiserArchitecture(nnx.Module):
 
     grid_in = self._shard_nodes(
         jnp.concatenate([bcast(self.grid_struct[...]), grid_data], -1))
-    nodes, _ = self.grid2mesh(
-        {'grid': grid_in, 'mesh': bcast(self.mesh_struct[...])},
-        {'g2m': bcast(self.g2m_edge_feats[...])}, cond)
-    latent_grid, latent_mesh = self._shard_nodes(nodes['grid']), nodes['mesh']
+
+    def run_g2m(grid_in, mesh_in, edge_in, cond):
+      nodes, _ = self.grid2mesh({'grid': grid_in, 'mesh': mesh_in},
+                                {'g2m': edge_in}, cond)
+      return nodes['grid'], nodes['mesh']
+
+    def run_m2g(latent_grid, latent_mesh, edge_in, cond):
+      nodes, _ = self.mesh2grid({'grid': latent_grid, 'mesh': latent_mesh},
+                                {'m2g': edge_in}, cond)
+      return nodes['grid']
+
+    if self._remat_gnns:
+      # Whole-GNN remat: the backward recomputes the encoder/decoder MLP
+      # internals instead of saving [num_grid_nodes, latent]-sized hidden
+      # activations (several GB each at 0.25 degrees).
+      run_g2m = jax.checkpoint(run_g2m)
+      run_m2g = jax.checkpoint(run_m2g)
+
+    latent_grid, latent_mesh = run_g2m(
+        grid_in, bcast(self.mesh_struct[...]),
+        bcast(self.g2m_edge_feats[...]), cond)
+    latent_grid = self._shard_nodes(latent_grid)
 
     latent_mesh = self.processor(latent_mesh, cond).astype(dtype)
 
-    nodes, _ = self.mesh2grid(
-        {'grid': latent_grid, 'mesh': latent_mesh},
-        {'m2g': bcast(self.m2g_edge_feats[...])}, cond)
-    return self._shard_nodes(nodes['grid'])
+    out = run_m2g(latent_grid, latent_mesh,
+                  bcast(self.m2g_edge_feats[...]), cond)
+    return self._shard_nodes(out)
 
 
 class Denoiser(nnx.Module):

@@ -233,3 +233,48 @@ def test_autoregressive_loss_gencast(setup):
   assert all(bool(jnp.isfinite(g).all())
              for g in jax.tree_util.tree_leaves(grads))
   assert '2m_temperature' in diags
+
+
+def test_remat_gnns_matches_plain(setup):
+  """DenoiserConfig.remat_gnns is a pure memory/recompute tradeoff:
+  identical loss and gradients (QUARTER_DEG relies on it)."""
+  statics, _ = setup
+  transformer = TransformerConfig(d_model=32, num_layers=1, num_heads=2,
+                                  ffw_hidden=64)
+
+  def build(remat):
+    return gencast_lib.GenCast(
+        TINY_TASK, statics, transformer,
+        denoiser_config=dataclasses.replace(DenoiserConfig(),
+                                            latent_size=32,
+                                            remat_gnns=remat),
+        sampler_config=gencast_lib.SamplerConfig(num_noise_levels=2),
+        rngs=nnx.Rngs(0))
+
+  m0, m1 = build(False), build(True)
+  inputs, targets, forcings = _data(statics, TINY_TASK, batch=1)
+
+  def loss_fn(m):
+    loss, _ = m.loss(inputs, targets, forcings, jax.random.PRNGKey(0))
+    return loss.mean()
+
+  l0, g0 = nnx.value_and_grad(loss_fn)(m0)
+  l1, g1 = nnx.value_and_grad(loss_fn)(m1)
+  np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+  p0 = jax.tree.leaves(nnx.state(g0, nnx.Param))
+  p1 = jax.tree.leaves(nnx.state(g1, nnx.Param))
+  for a, b in zip(p0, p1):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_quarter_deg_spec_memory_plan():
+  """The QUARTER_DEG preset must carry every memory-plan knob the
+  single-chip 0.25-degree training step depends on."""
+  from gencast_tpu import configs
+  spec = configs.QUARTER_DEG
+  assert spec.edge_chunk_size is not None     # streamed edges
+  assert spec.remat_gnns                      # whole-GNN remat
+  assert spec.noise_basis_dtype == 'bfloat16'  # 750MB Legendre table
+  assert spec.use_gradient_checkpointing      # transformer remat
+  assert spec.attention_type == 'pallas'      # no dense triblock at splits=6
