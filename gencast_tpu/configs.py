@@ -83,7 +83,7 @@ QUARTER_DEG = ModelSpec(
     mesh_splits=6, d_model=512, num_layers=16, num_heads=4,
     attention_k_hop=16, attention_type='pallas',
     stochastic_churn_rate=2.5,
-    edge_chunk_size=256 * 1024,
+    edge_chunk_size=128 * 1024,
     noise_basis_dtype='bfloat16',
     remat_gnns=True)
 

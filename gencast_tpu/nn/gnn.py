@@ -90,6 +90,35 @@ def _activation(name: str) -> Callable:
   return getattr(jax.nn, name)
 
 
+def _chunked_node_apply(fn: Callable, arrays, chunk: int) -> jnp.ndarray:
+  """Applies a node-pointwise fn over leading-axis chunks.
+
+  Rematerialized lax.scan: numerically identical to fn(*arrays) but the
+  backward's working set is one chunk's MLP internals instead of the full
+  [num_nodes, ...] activations (several GB at 0.25 degrees).
+  """
+  n = arrays[0].shape[0]
+  n_chunks = -(-n // chunk)
+  if n % n_chunks == 0:
+    # Exact division: reshape without the pad copy (a full [n, latent]
+    # pad temp costs 2GB at 0.25 degrees).
+    chunk = n // n_chunks
+    pad = 0
+    xs = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in arrays)
+  else:
+    pad = n_chunks * chunk - n
+    xs = tuple(
+        jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        .reshape((n_chunks, chunk) + a.shape[1:]) for a in arrays)
+
+  def body(carry, xs_c):
+    return carry, fn(*xs_c)
+
+  _, out = jax.lax.scan(jax.checkpoint(body), 0, xs)
+  out = out.reshape((out.shape[0] * out.shape[1],) + out.shape[2:])
+  return out[:n] if pad else out
+
+
 NodeFeats = Dict[str, jnp.ndarray]   # set name -> [N, B, C]
 EdgeFeats = Dict[str, jnp.ndarray]   # edge set name -> [E, B, C]
 
@@ -346,9 +375,20 @@ class TypedGraphNet(nnx.Module):
     output edge latents are not produced (returned as the raw inputs).
     """
     chunk = self.edge_chunk_size
-    node_lat = {k: (self.node_embedders[k](v, cond)
-                    if k in self._embedded_node_keys else v)
-                for k, v in nodes.items()}
+
+    def node_chunked(fn, arrays):
+      if arrays[0].shape[0] > chunk:
+        return _chunked_node_apply(fn, arrays, chunk)
+      return fn(*arrays)
+
+    node_lat = {}
+    for k, v in nodes.items():
+      if k in self._embedded_node_keys:
+        emb = self.node_embedders[k]
+        node_lat[k] = node_chunked(
+            lambda v_c, emb=emb: emb(v_c, cond), [v])
+      else:
+        node_lat[k] = v
     processor = self.processors[0]
 
     agg = {}
@@ -391,16 +431,16 @@ class TypedGraphNet(nnx.Module):
         acc = acc / self.aggregate_normalization
       agg[topo.name] = acc.astype(raw_e.dtype)
 
-    new_nodes = {}
+    out_nodes = {}
     for name, mlp in processor.node_mlps.items():
-      parts = [node_lat[name]]
-      for topo in self.topologies:
-        if topo.receiver_set == name:
-          parts.append(agg[topo.name])
-      update = mlp(jnp.concatenate(parts, axis=-1), cond)
-      new_nodes[name] = node_lat[name] + update
+      aggs = [agg[t.name] for t in self.topologies
+              if t.receiver_set == name]
+      decoder = (self.node_decoders[name]
+                 if name in self._decoded_node_keys else None)
 
-    out_nodes = {k: (self.node_decoders[k](v)
-                     if k in self._decoded_node_keys else v)
-                 for k, v in new_nodes.items()}
+      def update_fn(lat_c, *agg_c, mlp=mlp, decoder=decoder):
+        out = lat_c + mlp(jnp.concatenate([lat_c, *agg_c], -1), cond)
+        return decoder(out) if decoder is not None else out
+
+      out_nodes[name] = node_chunked(update_fn, [node_lat[name], *aggs])
     return out_nodes, edges

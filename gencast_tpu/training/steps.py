@@ -60,6 +60,40 @@ def train_step(model: nnx.Module, optimizer: nnx.Optimizer,
   return loss, diags
 
 
+def functional_train_step(model: nnx.Module, optimizer: nnx.Optimizer):
+  """Donated-state training step for memory-bound configurations.
+
+  Returns (step_fn, state). step_fn(state, inputs, targets, forcings, key)
+  -> (new_state, loss, diags), jitted with the state buffer donated so the
+  updated parameters/optimizer state alias the inputs — without donation a
+  second full copy of params + Adam moments is live across the step
+  (~1.9GB at 0.25 degrees, fatal on a 16GB chip). nnx.jit cannot donate
+  here: unchanged pass-through buffers (StaticData) would be deleted
+  without being written back to the module.
+
+  The caller owns the state thread: `state, loss, _ = step_fn(state, ...)`.
+  Use nnx.update(model_and_opt, state) to sync back into the modules.
+  """
+  import functools
+
+  graphdef, state = nnx.split((model, optimizer))
+
+  @functools.partial(jax.jit, donate_argnums=(0,))
+  def step_fn(state, inputs, targets, forcings, key):
+    m, opt = nnx.merge(graphdef, state)
+
+    def loss_fn(mm):
+      loss, diags = mm.loss(inputs, targets, forcings, key)
+      return loss.mean(), diags
+
+    (loss, diags), grads = nnx.value_and_grad(loss_fn, has_aux=True)(m)
+    opt.update(m, grads)
+    _, new_state = nnx.split((m, opt))
+    return new_state, loss, diags
+
+  return step_fn, state
+
+
 @nnx.jit
 def eval_step(model: nnx.Module, inputs: jnp.ndarray, targets: jnp.ndarray,
               forcings: jnp.ndarray, key: jax.Array

@@ -278,3 +278,37 @@ def test_quarter_deg_spec_memory_plan():
   assert spec.noise_basis_dtype == 'bfloat16'  # 750MB Legendre table
   assert spec.use_gradient_checkpointing      # transformer remat
   assert spec.attention_type == 'pallas'      # no dense triblock at splits=6
+
+
+def test_functional_train_step_matches_nnx(setup):
+  """The donated-state functional step computes the same first-step loss
+  as the nnx train_step and threads state across steps."""
+  import jax.numpy as jnp
+  from gencast_tpu.training import steps as steps_lib
+
+  statics, _ = setup
+  transformer = TransformerConfig(d_model=32, num_layers=1, num_heads=2,
+                                  ffw_hidden=64)
+
+  def build():
+    m = gencast_lib.GenCast(
+        TINY_TASK, statics, transformer,
+        denoiser_config=dataclasses.replace(DenoiserConfig(),
+                                            latent_size=32),
+        sampler_config=gencast_lib.SamplerConfig(num_noise_levels=2),
+        rngs=nnx.Rngs(0))
+    return m, steps_lib.create_optimizer(m, steps_lib.OptimizerConfig())
+
+  inputs, targets, forcings = _data(statics, TINY_TASK, batch=1)
+  key = jax.random.PRNGKey(0)
+
+  m0, o0 = build()
+  loss_ref, _ = steps_lib.train_step(m0, o0, inputs, targets, forcings, key)
+
+  m1, o1 = build()
+  step_fn, state = steps_lib.functional_train_step(m1, o1)
+  state, loss1, _ = step_fn(state, inputs, targets, forcings, key)
+  np.testing.assert_allclose(float(loss_ref), float(loss1), rtol=1e-6)
+  # Second step runs on the donated state without touching stale buffers.
+  state, loss2, _ = step_fn(state, inputs, targets, forcings, key)
+  assert np.isfinite(float(loss2))
