@@ -60,6 +60,10 @@ class ModelSpec:
   # Whole-GNN remat for the encoder/decoder (DenoiserConfig.remat_gnns);
   # required for the 0.25-degree single-chip training step.
   remat_gnns: bool = False
+  # Run the model under models.casting.Bfloat16Cast (bf16 compute, f32
+  # master weights). Required at 0.25 degrees: the f32 train step needs
+  # 16.0GB on a 16GB chip; bf16 fits with headroom.
+  cast_bf16: bool = False
 
 
 # The reference demo model (training/train.py defaults: mesh 4, d_model 256,
@@ -85,7 +89,8 @@ QUARTER_DEG = ModelSpec(
     stochastic_churn_rate=2.5,
     edge_chunk_size=128 * 1024,
     noise_basis_dtype='bfloat16',
-    remat_gnns=True)
+    remat_gnns=True,
+    cast_bf16=True)
 
 SPECS = {s.name: s for s in (NANO, ONE_DEG, QUARTER_DEG)}
 

@@ -51,6 +51,9 @@ def parse_args(argv=None):
   # Wrappers.
   p.add_argument('--no_normalization', action='store_true',
                  help='skip the InputsAndResiduals wrapper')
+  p.add_argument('--bf16', action='store_true', default=None,
+                 help='bf16 compute with f32 master weights '
+                      '(default: the preset decides)')
   p.add_argument('--clean_sst_nans', action='store_true')
   # Checkpointing / eval / logging.
   p.add_argument('--ckpt_dir', default=None)
@@ -150,8 +153,13 @@ def main(argv=None):
       sources.save_stats(stats, args.stats_path)
       print(f'[train] computed and saved stats to {args.stats_path}')
 
-  # Wrapper stack (reference: NaNCleaner inside, InputsAndResiduals outside).
+  # Wrapper stack (reference: NaNCleaner inside, InputsAndResiduals
+  # outside; Bfloat16Cast innermost).
   wrapped = model
+  if args.bf16 or (args.bf16 is None and spec.cast_bf16):
+    from gencast_tpu.models import casting
+    wrapped = casting.Bfloat16Cast(wrapped)
+    print('[train] bf16 compute enabled (f32 master weights)')
   if args.clean_sst_nans and \
       'sea_surface_temperature' in task.input_variables:
     # NaNCleaner sits INSIDE InputsAndResiduals, so it sees normalized
