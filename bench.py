@@ -10,6 +10,8 @@ Metrics:
   nano_sampler_sec             — 20-level DPM++2S (39 denoiser calls)
   onedeg_train_step_ms         — fwd+bwd+AdamW, 1-degree splits=5 d=512
   onedeg_sampler_sec           — 20-level DPM++2S at 1 degree
+  quarterdeg_train_step_sec    — fwd+bwd+AdamW at 0.25 degrees (bf16,
+                                 donated state; dispatch-path timing)
 
 Methodology: everything except the samplers is chained through an
 on-device lax.scan (output feeds the next call's input) and differenced
@@ -139,12 +141,60 @@ def bench_model(spec, tag, train_reps, fwd=False):
   _emit(f'{tag}_sampler_sec', t, 's/forecast-step')
 
 
+def bench_quarterdeg():
+  """0.25-degree train step: bf16 + donated state (no scan chaining —
+  the step itself is seconds long, far above relay dispatch noise)."""
+  import flax.nnx as nnx
+  import jax
+  import jax.numpy as jnp
+
+  from gencast_tpu import configs
+  from gencast_tpu.models import casting
+  from gencast_tpu.training import steps
+
+  t0 = time.time()
+  model, statics = configs.build_gencast(configs.QUARTER_DEG,
+                                         rngs=nnx.Rngs(0))
+  model = casting.Bfloat16Cast(model)
+  print(f'[qdeg] model build: {time.time()-t0:.1f}s', file=sys.stderr)
+  opt = steps.create_optimizer(model, steps.OptimizerConfig())
+  step_fn, state = steps.functional_train_step(model, opt)
+
+  d = model.predictor.denoiser
+  nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
+  rng = np.random.default_rng(0)
+
+  def arr(c):
+    return jnp.asarray(rng.standard_normal((1, nlat, nlon, c)),
+                       jnp.float32)
+
+  inputs = arr(d.input_layout.num_channels)
+  targets = arr(d.target_layout.num_channels)
+  forcings = arr(d.forcing_layout.num_channels)
+  key = jax.random.PRNGKey(0)
+
+  t0 = time.time()
+  state, loss, _ = step_fn(state, inputs, targets, forcings, key)
+  print(f'[qdeg] compile+run: {time.time()-t0:.1f}s '
+        f'loss={float(loss):.3f}', file=sys.stderr)
+  ts = []
+  for i in range(3):
+    t0 = time.time()
+    state, loss, _ = step_fn(state, inputs, targets, forcings,
+                             jax.random.fold_in(key, i + 1))
+    jax.block_until_ready(loss)
+    ts.append(time.time() - t0)
+  _emit('quarterdeg_train_step_sec', min(ts), 's/step')
+
+
 def main():
   from gencast_tpu import configs
 
   bench_model(configs.NANO, 'nano', train_reps=REPS, fwd=True)
   if not os.environ.get('BENCH_SKIP_1DEG'):
     bench_model(configs.ONE_DEG, 'onedeg', train_reps=9)
+  if not os.environ.get('BENCH_SKIP_QDEG'):
+    bench_quarterdeg()
 
 
 if __name__ == '__main__':
