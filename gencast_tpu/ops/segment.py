@@ -297,6 +297,12 @@ def build_agg_plan(segment_ids: np.ndarray, num_segments: int, *,
     perm = np.argsort(ids, kind='stable').astype(np.int32)
     sorted_ids = ids[perm]
   mxu = build_segment_plan(sorted_ids, num_segments, tile=tile, width=width)
+  if perm is not None:
+    # Fold the block padding into the permutation gather: the padded rows
+    # carry arbitrary (finite) data but recv_blocked is -1 there, so the
+    # one-hot excludes them. Saves a full-size HBM pad copy per call.
+    pad = mxu.recv_blocked.size - perm.size
+    perm = np.pad(perm, (0, pad))
   return AggPlan(num_segments=num_segments, num_edges=int(ids.shape[0]),
                  segment_ids=ids, perm=perm, mxu=mxu)
 
