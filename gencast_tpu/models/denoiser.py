@@ -253,7 +253,10 @@ class Denoiser(nnx.Module):
                noise_levels: jnp.ndarray,   # [B]
                forcings: jnp.ndarray,       # [B, lat, lon, C_frc]
                ) -> jnp.ndarray:
-    cond = self.noise_encoder(noise_levels)  # [B, 16]
+    # Conditioning in the compute dtype: noise_levels stay f32 (log/sigma
+    # resolution), but a f32 cond vector would re-promote every FiLM-
+    # conditioned activation back to f32 under bf16 execution.
+    cond = self.noise_encoder(noise_levels).astype(inputs.dtype)  # [B, 16]
     conditioning = jnp.take(
         jnp.concatenate([forcings, noisy_targets], axis=-1),
         self.cond_perm[...], axis=-1)

@@ -49,3 +49,23 @@ def test_disabled_passthrough(setup):
   a = wrapped(inputs, targets, jnp.ones((2,)), forcings)
   b = model(inputs, targets, jnp.ones((2,)), forcings)
   np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_sample_runs_in_bf16(setup):
+  """The sampler's scan carry must stay bf16 end-to-end under
+  Bfloat16Cast — a f32 conditioning vector used to re-promote every
+  FiLM-conditioned activation (and break the scan carry dtype)."""
+  statics, model = setup
+  wrapped = casting.Bfloat16Cast(model)
+  inputs, _, forcings = _data(statics, TINY_TASK, batch=1)
+  out = wrapped.sample(inputs, forcings, jax.random.PRNGKey(0))
+  assert out.dtype == jnp.float32  # cast back at the boundary
+  assert bool(jnp.isfinite(out).all())
+  # The inner compute really ran bf16: the preconditioned denoiser output
+  # on bf16 operands must be bf16 (no silent f32 promotion).
+  inner = wrapped._inner()
+  xb = inputs[..., : model.target_layout.num_channels].astype(jnp.bfloat16)
+  raw = inner._precond_denoise(inputs.astype(jnp.bfloat16),
+                               forcings.astype(jnp.bfloat16), xb,
+                               jnp.ones((1,)))
+  assert raw.dtype == jnp.bfloat16
