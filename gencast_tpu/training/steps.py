@@ -76,11 +76,17 @@ def functional_train_step(model: nnx.Module, optimizer: nnx.Optimizer):
   """
   import functools
 
-  graphdef, state = nnx.split((model, optimizer))
+  from gencast_tpu.nn.variables import StaticData
+
+  # StaticData buffers (graph indices, SH tables, masks) are excluded
+  # from donation: they are immutable, shared across model builds via
+  # host-side caches, and donating them deletes arrays other model
+  # instances still reference.
+  graphdef, static, state = nnx.split((model, optimizer), StaticData, ...)
 
   @functools.partial(jax.jit, donate_argnums=(0,))
-  def step_fn(state, inputs, targets, forcings, key):
-    m, opt = nnx.merge(graphdef, state)
+  def _step(state, static, inputs, targets, forcings, key):
+    m, opt = nnx.merge(graphdef, static, state)
 
     def loss_fn(mm):
       loss, diags = mm.loss(inputs, targets, forcings, key)
@@ -88,8 +94,11 @@ def functional_train_step(model: nnx.Module, optimizer: nnx.Optimizer):
 
     (loss, diags), grads = nnx.value_and_grad(loss_fn, has_aux=True)(m)
     opt.update(m, grads)
-    _, new_state = nnx.split((m, opt))
+    _, _, new_state = nnx.split((m, opt), StaticData, ...)
     return new_state, loss, diags
+
+  def step_fn(state, inputs, targets, forcings, key):
+    return _step(state, static, inputs, targets, forcings, key)
 
   return step_fn, state
 
