@@ -54,6 +54,9 @@ def parse_args(argv=None):
   p.add_argument('--bf16', action='store_true', default=None,
                  help='bf16 compute with f32 master weights '
                       '(default: the preset decides)')
+  p.add_argument('--functional_step', action='store_true', default=None,
+                 help='donated-state training step (no second params/opt '
+                      'copy across the step; default: on for 0.25deg)')
   p.add_argument('--clean_sst_nans', action='store_true')
   # Checkpointing / eval / logging.
   p.add_argument('--ckpt_dir', default=None)
@@ -203,6 +206,21 @@ def main(argv=None):
   it = sources.batch_iterator(source, args.batch_size, seed=args.seed)
   key = jax.random.PRNGKey(args.seed)
 
+  # Donated-state step for memory-bound presets (0.25deg needs it).
+  use_functional = (args.functional_step
+                    if args.functional_step is not None
+                    else spec.name == '0.25deg')
+  step_fn = fstate = None
+  if use_functional and args.model == 'gencast' and args.ar_steps <= 1:
+    step_fn, fstate = steps_lib.functional_train_step(wrapped, optimizer)
+    print('[train] donated-state functional step enabled')
+
+  def sync_functional_state():
+    """Writes the threaded functional state back into the modules
+    (before checkpoint saves and sampling evals)."""
+    if fstate is not None:
+      nnx.update((wrapped, optimizer), fstate)
+
   ar_steps = args.ar_steps if args.model == 'graphcast' else 1
   if ar_steps > 1:
     # Multi-step AR training: samples provide K target/forcing frames.
@@ -246,6 +264,10 @@ def main(argv=None):
       loss, diags = ar_train_step(
           wrapped, optimizer, batch['inputs'], batch['targets'],
           batch['forcings'], step_key)
+    elif step_fn is not None:
+      fstate, loss, diags = step_fn(
+          fstate, batch['inputs'], batch['targets'], batch['forcings'],
+          step_key)
     else:
       loss, diags = steps_lib.train_step(
           wrapped, optimizer, batch['inputs'], batch['targets'],
@@ -268,9 +290,11 @@ def main(argv=None):
       t_log = time.time()
 
     if manager is not None and (step + 1) % args.save_every == 0:
+      sync_functional_state()
       ckpt_lib.save(manager, step, wrapped, optimizer)
 
     if args.do_sampling_eval and (step + 1) % args.eval_every == 0:
+      sync_functional_state()
       w = source.sample(0)
       frc = jnp.asarray(w.forcings)[None][None]  # [K=1, B=1, ...]
       roll = (rollout_lib.sample_rollout if args.model == 'gencast'
@@ -283,6 +307,7 @@ def main(argv=None):
       print(f'[train] sampling eval rmse={rmse:.4f}')
       sink.log('sampling_eval', step + 1, rmse=rmse)
 
+  sync_functional_state()
   if manager is not None:
     ckpt_lib.save(manager, args.steps - 1, wrapped, optimizer)
     manager.wait_until_finished()
