@@ -141,13 +141,25 @@ class SyntheticSource(WindowedSource):
       coeffs = rng.standard_normal((t, 2 * kmax + 1, 2 * kmax + 1))
       for i in range(1, t):
         coeffs[i] = 0.9 * coeffs[i - 1] + np.sqrt(1 - 0.81) * coeffs[i]
-      phi = np.deg2rad(self.lon)[None, :]
-      mu = np.deg2rad(self.lat)[:, None]
-      field = np.zeros((t, nlat, nlon))
-      for ky in range(2 * kmax + 1):
-        for kx in range(2 * kmax + 1):
-          basis = (np.cos((ky - kmax) * 2 * mu + (kx - kmax) * phi))
-          field += coeffs[:, ky, kx, None, None] * basis[None]
+      phi = np.deg2rad(self.lon)
+      mu = np.deg2rad(self.lat)
+      # cos(a*2mu + b*phi) = cosA cosB - sinA sinB: two small einsums
+      # instead of a python loop over (2k+1)^2 full-grid basis fields
+      # (the loop took ~30 min at 0.25 degrees; this takes seconds).
+      wav = np.arange(-kmax, kmax + 1, dtype=np.float32)
+      arg_lat = wav[:, None] * 2.0 * mu[None, :].astype(np.float32)
+      arg_lon = wav[:, None] * phi[None, :].astype(np.float32)
+      c32 = coeffs.astype(np.float32)
+      n_modes = 2 * kmax + 1
+
+      def synth(lat_basis, lon_basis):  # [A,lat],[B,lon] -> [t,lat,lon]
+        tmp = np.tensordot(c32, lat_basis, axes=([1], [0]))  # [t, B, lat]
+        tmp = np.ascontiguousarray(tmp.transpose(0, 2, 1))   # [t, lat, B]
+        return (tmp.reshape(t * nlat, n_modes) @ lon_basis
+                ).reshape(t, nlat, nlon)
+
+      field = (synth(np.cos(arg_lat), np.cos(arg_lon))
+               - synth(np.sin(arg_lat), np.sin(arg_lon)))
       field /= np.sqrt((2 * kmax + 1) ** 2 / 2)
       self._cache[name] = field.astype(np.float32)
     return self._cache[name]
