@@ -154,7 +154,8 @@ def chunked_rollout(model: nnx.Module,
                     *,
                     chunk_size: int,
                     mode: str = 'sample',
-                    teacher_targets: Optional[jnp.ndarray] = None):
+                    teacher_targets: Optional[jnp.ndarray] = None,
+                    overlap_offload: bool = True):
   """Long rollout in fixed-size jitted chunks with per-chunk host offload.
 
   The fused single-scan rollout stacks all K step outputs on device —
@@ -207,11 +208,18 @@ def chunked_rollout(model: nnx.Module,
     sl = slice(c * chunk_size, (c + 1) * chunk_size)
     tt = teacher_targets[sl] if teacher_targets is not None else None
     preds, window = run_chunk(state, window, forcings[sl], step_keys[sl], tt)
+    if not overlap_offload:
+      # Serialize device compute and host copies: some remote TPU
+      # runtimes are unstable under a large device_get concurrent with
+      # a running program.
+      chunks.append(jax.device_get(preds))
+      continue
     if pending is not None:
       # Offload the previous chunk while this one computes.
       chunks.append(jax.device_get(pending))
     pending = preds
-  chunks.append(jax.device_get(pending))
+  if pending is not None:
+    chunks.append(jax.device_get(pending))
   return np.concatenate(chunks, axis=0)[:num_steps]
 
 

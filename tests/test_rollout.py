@@ -119,3 +119,21 @@ def test_chunked_rollout_teacher_forcing(setup):
   chunked = R.chunked_rollout(wrapped, inputs, frc_seq, key, chunk_size=2,
                               teacher_targets=truth_seq)
   np.testing.assert_array_equal(chunked, full)
+
+
+def test_chunked_rollout_serialized_offload(setup):
+  """overlap_offload=False (for runtimes unstable under concurrent
+  device_get + compute) is still bit-exact."""
+  statics, model = setup
+  from gencast_tpu.models import wrappers
+  stats = L.Stats.unit(
+      set(TINY_TASK.input_variables) | set(TINY_TASK.target_variables),
+      TINY_TASK.pressure_levels)
+  wrapped = wrappers.InputsAndResiduals(model, stats)
+  inputs, _, forcings = _data(statics, TINY_TASK)
+  frc_seq = jnp.stack([forcings] * 3)
+  key = jax.random.PRNGKey(9)
+  full = np.asarray(R.sample_rollout(wrapped, inputs, frc_seq, key))
+  chunked = R.chunked_rollout(wrapped, inputs, frc_seq, key, chunk_size=2,
+                              overlap_offload=False)
+  np.testing.assert_array_equal(chunked, full)
