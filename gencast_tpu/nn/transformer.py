@@ -132,22 +132,26 @@ def _joint_softmax3(logits):
 
 
 class TriblockAttention(nnx.Module):
-  """Tri-block-diagonal attention (XLA einsum path). Mask passed per call."""
+  """Tri-block-diagonal attention (XLA einsum path). Mask passed per call.
+
+  Pads the node axis TO `padded_nodes` (a no-op when the caller already
+  hoisted the padding out of the layer scan) and slices back to the
+  input length."""
 
   def __init__(self, cfg: TransformerConfig, block_size: int,
-               num_padding_nodes: int, *, rngs: nnx.Rngs):
+               padded_nodes: int, *, rngs: nnx.Rngs):
     self.cfg = cfg
     self.proj = _QKVProjections(cfg, rngs=rngs)
     self.block_size = block_size
-    self.num_padding_nodes = num_padding_nodes
+    self.padded_nodes = padded_nodes
 
   def __call__(self, x: jnp.ndarray, attn_args) -> jnp.ndarray:
-    # x: [B, N, C] with N the real node count.
+    # x: [B, N, C] with N the real or pre-padded node count.
     (mask,) = attn_args  # [3, nb, bs, bs] bool
     cfg = self.cfg
     n = x.shape[1]
     bs = self.block_size
-    x_p = jnp.pad(x, ((0, 0), (0, self.num_padding_nodes), (0, 0)))
+    x_p = jnp.pad(x, ((0, 0), (0, self.padded_nodes - n), (0, 0)))
     nb = x_p.shape[1] // bs
     x_b = x_p.reshape(x_p.shape[0], nb, bs, cfg.d_model)
 
@@ -183,18 +187,18 @@ class TriblockPallasAttention(nnx.Module):
   profiled softmax-bwd multiply_reduce hotspot at nano scale)."""
 
   def __init__(self, cfg: TransformerConfig, block_size: int,
-               num_padding_nodes: int, *, rngs: nnx.Rngs):
+               padded_nodes: int, *, rngs: nnx.Rngs):
     self.cfg = cfg
     self.proj = _QKVProjections(cfg, rngs=rngs)
     self.block_size = block_size
-    self.num_padding_nodes = num_padding_nodes
+    self.padded_nodes = padded_nodes
 
   def __call__(self, x: jnp.ndarray, attn_args) -> jnp.ndarray:
     from gencast_tpu.ops import banded_attention
     (mask,) = attn_args  # [3, nb, bs, bs] bool
     cfg = self.cfg
     n = x.shape[1]
-    x_p = jnp.pad(x, ((0, 0), (0, self.num_padding_nodes), (0, 0)))
+    x_p = jnp.pad(x, ((0, 0), (0, self.padded_nodes - n), (0, 0)))
     q, k, v = self.proj.split_heads(x_p)  # [B, Np, H, hd]
     o = banded_attention.banded_attention(q, k, v, mask, self.block_size)
     o = o.reshape(o.shape[0], o.shape[1], cfg.num_heads * cfg.head_dim)
@@ -305,6 +309,12 @@ class MeshTransformer(nnx.Module):
     self.cfg = cfg
 
     # Attention operands, owned once (shared across layers).
+    # Node-axis padding hoisted out of the per-layer attention calls:
+    # x is padded once before the layer scan and sliced once after, so
+    # the in-scan pads/slices become no-ops (measured ~4ms/step at 1
+    # degree across fwd+bwd). Padded rows are fully masked: attention
+    # returns 0 there and LN/FiLM/FFW keep them finite.
+    self._hoisted_pad = 0
     if cfg.attention_type == 'dense':
       assert dense_mask is not None
       self.attn_operands = nnx.List([StaticData(jnp.asarray(dense_mask))])
@@ -322,11 +332,13 @@ class MeshTransformer(nnx.Module):
       ])
       block_kwargs = {'plan_meta': (tile_plan.tile, tile_plan.num_active_fwd,
                                     tile_plan.num_active_bwd)}
+      self._hoisted_pad = tile_plan.padded_n
     elif cfg.attention_type in ('triblock', 'triblock_pallas'):
       assert mask is not None
       self.attn_operands = nnx.List([StaticData(jnp.asarray(mask.blocks))])
       block_kwargs = {'block_size': mask.block_size,
-                      'num_padding_nodes': mask.num_padding_nodes}
+                      'padded_nodes': mask.num_blocks * mask.block_size}
+      self._hoisted_pad = mask.num_blocks * mask.block_size
     else:
       raise ValueError(f'unknown attention_type {cfg.attention_type}')
 
@@ -358,7 +370,10 @@ class MeshTransformer(nnx.Module):
 
   def __call__(self, node_feats: jnp.ndarray,
                cond: jnp.ndarray) -> jnp.ndarray:
+    n = node_feats.shape[0]
     x = jnp.transpose(node_feats, (1, 0, 2))  # [B, N, C]
+    if self._hoisted_pad > n:
+      x = jnp.pad(x, ((0, 0), (0, self._hoisted_pad - n), (0, 0)))
     attn_args = tuple(v[...] for v in self.attn_operands)
 
     if self.cfg.scan_layers:
@@ -398,4 +413,4 @@ class MeshTransformer(nnx.Module):
           x = block(x, cond, attn_args)
 
     x = self.final_film(self.final_ln(x), cond[:, None, :])
-    return jnp.transpose(x, (1, 0, 2))
+    return jnp.transpose(x[:, :n], (1, 0, 2))
