@@ -335,7 +335,12 @@ class MeshTransformer(nnx.Module):
       self._hoisted_pad = tile_plan.padded_n
     elif cfg.attention_type in ('triblock', 'triblock_pallas'):
       assert mask is not None
-      self.attn_operands = nnx.List([StaticData(jnp.asarray(mask.blocks))])
+      # uint8 mask for the pallas kernel: bool operands lower to i32 in
+      # VMEM, quadrupling the three double-buffered mask streams (VMEM
+      # overflow at larger batch); the XLA path reads either dtype.
+      blocks = (mask.blocks.astype(np.uint8)
+                if cfg.attention_type == 'triblock_pallas' else mask.blocks)
+      self.attn_operands = nnx.List([StaticData(jnp.asarray(blocks))])
       block_kwargs = {'block_size': mask.block_size,
                       'padded_nodes': mask.num_blocks * mask.block_size}
       self._hoisted_pad = mask.num_blocks * mask.block_size

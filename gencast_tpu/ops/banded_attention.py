@@ -39,7 +39,7 @@ def _fwd_kernel(md_ref, mu_ref, ml_ref, q_ref, kd_ref, ku_ref, kl_ref,
     l = jax.lax.dot_general(q, k_ref[0].astype(jnp.float32),
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    return jnp.where(m_ref[0, 0], l, NEG_INF)
+    return jnp.where(m_ref[0, 0] != 0, l, NEG_INF)
 
   ld = logits(kd_ref, md_ref)
   lu = logits(ku_ref, mu_ref)
@@ -78,7 +78,7 @@ def _dq_kernel(md_ref, mu_ref, ml_ref, q_ref, kd_ref, ku_ref, kl_ref,
     v = v_ref[0].astype(jnp.float32)
     logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
-    logits = jnp.where(m_ref[0, 0], logits, NEG_INF)
+    logits = jnp.where(m_ref[0, 0] != 0, logits, NEG_INF)
     w = jnp.exp(logits - lse)  # [b, b]
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -115,7 +115,7 @@ def _dkv_kernel(md_ref, ml_ref, mu_ref, k_ref, v_ref, qd_ref, qu_ref,
     delta = delta_ref[0]  # [bs, 1]
     logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
-    logits = jnp.where(m_ref[0, 0], logits, NEG_INF)
+    logits = jnp.where(m_ref[0, 0] != 0, logits, NEG_INF)
     w = jnp.exp(logits - lse)  # [bq, bk]
     dv = dv + jax.lax.dot_general(w, do, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
@@ -131,6 +131,20 @@ def _dkv_kernel(md_ref, ml_ref, mu_ref, k_ref, v_ref, qd_ref, qu_ref,
 def _interpret() -> bool:
   """Pallas interpreter mode off-TPU (CPU tests / debugging)."""
   return jax.default_backend() != 'tpu'
+
+
+def _compiler_params(g: int):
+  # 'parallel' over the folded batch*heads axis. The raised vmem cap is
+  # conditional: Mosaic's default 16MB scoped budget rejects the unrolled
+  # 3-neighbor backward once the folded axis grows (batch >= 2 at 4
+  # heads), but raising the cap unconditionally makes Mosaic pick a
+  # schedule ~15% slower at batch 1 (measured 18.2 -> 21.3 ms/step).
+  if g > 8:
+    return pltpu.CompilerParams(
+        dimension_semantics=('parallel', 'arbitrary'),
+        vmem_limit_bytes=100 * 1024 * 1024)
+  return pltpu.CompilerParams(
+      dimension_semantics=('parallel', 'arbitrary'))
 
 
 def _reshape_bhnd(x):
@@ -154,7 +168,8 @@ def banded_attention(q, k, v, mask_blocks, block_size):
   """Tri-block-banded attention.
 
   q/k/v: [B, N, H, d], N divisible by block_size; mask_blocks:
-  [3, nb, bs, bs] bool. Returns [B, N, H, d].
+  [3, nb, bs, bs] uint8 (bool also accepted — uint8 keeps the VMEM mask
+  streams 4x smaller than the i32 bools lower to). Returns [B, N, H, d].
   """
   o, _ = _banded_attention_fwd_impl(q, k, v, mask_blocks, block_size)
   return o
@@ -203,6 +218,7 @@ def _banded_attention_fwd_impl(q, k, v, mask_blocks, block_size):
           jax.ShapeDtypeStruct((g, n, d), q.dtype),
           jax.ShapeDtypeStruct((g, n, 1), jnp.float32),
       ],
+      compiler_params=_compiler_params(g),
       interpret=_interpret(),
   )(mask_blocks, mask_blocks, mask_blocks, qf, kf, kf, kf, vf, vf, vf)
 
@@ -254,6 +270,7 @@ def _banded_attention_bwd(block_size, res, do):
       out_specs=pl.BlockSpec((1, bs, d), lambda gi, j: (gi, j, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((g, n, d), qf.dtype),
+      compiler_params=_compiler_params(g),
       interpret=_interpret(),
   )(mask_blocks, mask_blocks, mask_blocks, qf, kf, kf, kf, vf, vf, vf,
     dof, lse, delta)
@@ -290,6 +307,7 @@ def _banded_attention_bwd(block_size, res, do):
           jax.ShapeDtypeStruct(kf.shape, kf.dtype),
           jax.ShapeDtypeStruct(vf.shape, vf.dtype),
       ],
+      compiler_params=_compiler_params(g),
       interpret=_interpret(),
   )(mp, mp, mp, kf, vf, qp, qp, qp, dop, dop, dop,
     lsep, lsep, lsep, deltap, deltap, deltap)
