@@ -64,6 +64,12 @@ class ModelSpec:
   # master weights). Required at 0.25 degrees: the f32 train step needs
   # 16.0GB on a 16GB chip; bf16 fits with headroom.
   cast_bf16: bool = False
+  # Train with the donated-state functional step (training/steps.py:
+  # functional_train_step) so updated params/optimizer state alias their
+  # inputs instead of holding a second full copy across the step.
+  # Memory-critical at paper scale; a spec flag (not a preset-name
+  # compare) so renamed/user-built specs keep the path.
+  use_donated_step: bool = False
 
 
 # The reference demo model (training/train.py defaults: mesh 4, d_model 256,
@@ -93,7 +99,8 @@ QUARTER_DEG = ModelSpec(
     edge_chunk_size=128 * 1024,
     noise_basis_dtype='bfloat16',
     remat_gnns=True,
-    cast_bf16=True)
+    cast_bf16=True,
+    use_donated_step=True)
 
 SPECS = {s.name: s for s in (NANO, ONE_DEG, QUARTER_DEG)}
 

@@ -312,8 +312,12 @@ class MeshTransformer(nnx.Module):
     # Node-axis padding hoisted out of the per-layer attention calls:
     # x is padded once before the layer scan and sliced once after, so
     # the in-scan pads/slices become no-ops (measured ~4ms/step at 1
-    # degree across fwd+bwd). Padded rows are fully masked: attention
-    # returns 0 there and LN/FiLM/FFW keep them finite.
+    # degree across fwd+bwd). Padded rows are fully masked as keys and
+    # sliced off at the end; as queries the Pallas kernels return 0 for
+    # them while the einsum backends return a finite masked-softmax
+    # artifact — either way LN/FiLM/FFW keep them finite and their
+    # cotangents are exactly 0 (nothing downstream of the final slice
+    # reads them).
     self._hoisted_pad = 0
     if cfg.attention_type == 'dense':
       assert dense_mask is not None

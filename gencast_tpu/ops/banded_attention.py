@@ -57,9 +57,15 @@ def _fwd_kernel(md_ref, mu_ref, ml_ref, q_ref, kd_ref, ku_ref, kl_ref,
                                (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
+  # Fully-masked (padding) rows: every logit is NEG_INF, so m == NEG_INF
+  # and exp(l - m) == 1 for all keys — without the fix the row would be
+  # the mean of V. Zero the output and push lse to +inf-like so the
+  # backward's exp(logits - lse) underflows to 0 for those rows (same
+  # semantics as ops/sparse_attention.py).
+  valid = m > NEG_INF * 0.5  # [bs, 1]
   o = (pv(ed, vd_ref) + pv(eu, vu_ref) + pv(el, vl_ref)) / denom
-  o_ref[0] = o.astype(o_ref.dtype)
-  lse_ref[0] = m + jnp.log(denom)  # [bs, 1]
+  o_ref[0] = jnp.where(valid, o, 0.0).astype(o_ref.dtype)
+  lse_ref[0] = jnp.where(valid, m + jnp.log(denom), -NEG_INF)  # [bs, 1]
 
 
 def _dq_kernel(md_ref, mu_ref, ml_ref, q_ref, kd_ref, ku_ref, kl_ref,

@@ -22,12 +22,15 @@ class MetricsSink:
     self._file = open(jsonl_path, 'a') if jsonl_path else None
     self._wandb = None
     if use_wandb:
+      # Broad except: in air-gapped environments wandb.init fails with
+      # network/auth errors, not ImportError; either way training must
+      # not die at startup over a logging sink.
       try:
         import wandb  # type: ignore
-        self._wandb = wandb
         wandb.init(project=wandb_project, config=run_config or {})
-      except ImportError:
-        print('[metrics] wandb requested but not installed; '
+        self._wandb = wandb
+      except Exception as e:  # pylint: disable=broad-except
+        print(f'[metrics] wandb unavailable ({type(e).__name__}: {e}); '
               'logging to JSONL/stdout only')
 
   def log(self, event: str, step: int, **values):

@@ -30,6 +30,16 @@ class OptimizerConfig:
 
 def create_optimizer(model: nnx.Module,
                      config: OptimizerConfig) -> nnx.Optimizer:
+  """AdamW + linear-warmup/cosine-decay, reference recipe values.
+
+  Deviation from the reference (documented in PARITY.md): warmup is
+  clamped to total_steps // 10 so short runs (tests, smoke trainings far
+  below the 30k-step production schedule, where warmup_steps=1000 would
+  otherwise cover most or all of the run) still see a full
+  warmup->decay cycle. For any total_steps >= 10 * warmup_steps —
+  including the reference's 30k-step recipe — the clamp is inactive and
+  the schedule is exactly the reference's.
+  """
   warmup = min(config.warmup_steps, max(1, config.total_steps // 10))
   schedule = optax.warmup_cosine_decay_schedule(
       init_value=0.0,

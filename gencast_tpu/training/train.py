@@ -206,10 +206,11 @@ def main(argv=None):
   it = sources.batch_iterator(source, args.batch_size, seed=args.seed)
   key = jax.random.PRNGKey(args.seed)
 
-  # Donated-state step for memory-bound presets (0.25deg needs it).
+  # Donated-state step for memory-bound specs (ModelSpec.use_donated_step;
+  # on for the 0.25deg preset).
   use_functional = (args.functional_step
                     if args.functional_step is not None
-                    else spec.name == '0.25deg')
+                    else spec.use_donated_step)
   step_fn = fstate = None
   if use_functional and args.model == 'gencast' and args.ar_steps <= 1:
     step_fn, fstate = steps_lib.functional_train_step(wrapped, optimizer)

@@ -53,6 +53,40 @@ def test_forward_matches_oracle(nb, bs, h, d):
                              atol=1e-5, rtol=1e-5)
 
 
+def test_fully_masked_rows_zero():
+  """Padding rows (no allowed keys at all) must output exactly 0 and get
+  zero cotangents — same semantics as ops/sparse_attention.py."""
+  nb, bs, h, d = 3, 8, 1, 16
+  n = nb * bs
+  key = jax.random.PRNGKey(5)
+  kq, kk, kv = jax.random.split(key, 3)
+  q = jax.random.normal(kq, (1, n, h, d))
+  k = jax.random.normal(kk, (1, n, h, d))
+  v = jax.random.normal(kv, (1, n, h, d))
+  mask = np.asarray(_random_mask(nb, bs, seed=6))
+  # Fully mask the last 5 query rows (as both queries and keys), like the
+  # hoisted node-axis padding in MeshTransformer.
+  pad = 5
+  mask[0, nb - 1, bs - pad:, :] = False
+  mask[0, nb - 1, :, bs - pad:] = False
+  mask[1, nb - 2, :, bs - pad:] = False
+  mask[2, nb - 1, bs - pad:, :] = False
+  mask = jnp.asarray(mask)
+
+  def f(q, k, v):
+    return ba.banded_attention(q, k, v, mask, bs)
+
+  out, vjp = jax.vjp(f, q, k, v)
+  assert np.all(np.asarray(out[0, n - pad:]) == 0.0)
+  assert np.all(np.isfinite(np.asarray(out)))
+  cot = jnp.ones_like(out)
+  dq, dk, dv = vjp(cot)
+  # Padded query rows contribute nothing to dq; dk/dv see them neither.
+  assert np.all(np.asarray(dq[0, n - pad:]) == 0.0)
+  for g in (dq, dk, dv):
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_gradients_match_oracle():
   nb, bs, h, d = 3, 16, 2, 32
   n = nb * bs
