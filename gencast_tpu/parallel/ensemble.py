@@ -27,14 +27,18 @@ def ensemble_rollout(model: nnx.Module,
                      key: jax.Array,
                      num_members: int,
                      mesh: Optional[Mesh] = None,
-                     teacher_targets: Optional[jnp.ndarray] = None
-                     ) -> jnp.ndarray:
+                     teacher_targets: Optional[jnp.ndarray] = None,
+                     keys: Optional[jax.Array] = None) -> jnp.ndarray:
   """The GenCast production workload: a K-step autoregressive ensemble
   forecast, members sharded over the 'ensemble' mesh axis.
 
   Each member runs its own fused rollout scan (sampler scan nested inside);
   there is no cross-member communication until the caller reduces over the
   member axis. Returns [M, K, B, lat, lon, C_tgt].
+
+  keys overrides the internal member_keys(key, num_members): member-chunked
+  callers pass slices of one global member_keys split, so chunking over
+  members never changes any member's sample stream.
   """
   from gencast_tpu import rollout as rollout_lib
   d = rollout_lib._find_layouts(model)
@@ -42,7 +46,8 @@ def ensemble_rollout(model: nnx.Module,
   maps = layout_lib.rollout_maps(d.input_layout, d.target_layout,
                                  d.forcing_layout)
   graphdef, state = nnx.split(model)
-  keys = member_keys(key, num_members)
+  if keys is None:
+    keys = member_keys(key, num_members)
   if mesh is not None:
     keys = jax.device_put(keys, NamedSharding(mesh, P('ensemble')))
 

@@ -28,6 +28,19 @@ def parse_args(argv=None):
   p.add_argument('--out_dir', default='/tmp/gencast_eval')
   p.add_argument('--max_rollout_steps', type=int, default=4)
   p.add_argument('--num_members', type=int, default=1)
+  p.add_argument('--chunk_size', type=int, default=None,
+                 help='rollout in fixed-size jitted chunks with per-chunk '
+                      'host offload (memory-safe long forecasts; exact '
+                      'vs unchunked for any value). Required at 0.25deg.')
+  p.add_argument('--member_chunk', type=int, default=None,
+                 help='run ensemble members in groups of this size, '
+                      'offloading each group to host (memory-safe large '
+                      'ensembles; exact vs one-shot by the folded member '
+                      'keys).')
+  p.add_argument('--no_overlap_offload', action='store_true',
+                 help='serialize device compute and host copies during '
+                      'chunked rollouts (required on unstable remote '
+                      'TPU relays; see CLAUDE.md 0.25deg recipe)')
   p.add_argument('--teacher_forcing', action='store_true')
   p.add_argument('--plot_vars', nargs='*',
                  default=['2m_temperature'])
@@ -127,16 +140,41 @@ def main(argv=None):
 
   key = jax.random.PRNGKey(args.seed)
   if args.model == 'graphcast':
-    preds = rollout_lib.predict_rollout(wrapped, inputs, forcings,
-                                        teacher_targets=teacher)
-    preds = np.asarray(preds[:, 0])[None]    # [M=1, K, lat, lon, C]
+    if args.chunk_size:
+      preds = rollout_lib.chunked_rollout(
+          wrapped, inputs, forcings, key, chunk_size=args.chunk_size,
+          mode='predict', teacher_targets=teacher,
+          overlap_offload=not args.no_overlap_offload)
+    else:
+      preds = np.asarray(rollout_lib.predict_rollout(
+          wrapped, inputs, forcings, teacher_targets=teacher))
+    preds = preds[:, 0][None]                # [M=1, K, lat, lon, C]
   else:
-    # All members in one traced program (vmapped over member keys).
     from gencast_tpu.parallel import ensemble as ensemble_lib
-    out = ensemble_lib.ensemble_rollout(
-        wrapped, inputs, forcings, key, num_members=args.num_members,
-        teacher_targets=teacher)
-    preds = np.asarray(out[:, :, 0])         # [M, K, lat, lon, C]
+    mkeys = ensemble_lib.member_keys(key, args.num_members)
+    if args.chunk_size:
+      # Memory-safe on both axes: members stream one at a time, each
+      # through the chunked rollout (exact vs the one-shot path — the
+      # folded member keys and the global split(key, K) step keys are
+      # both independent of the chunking).
+      groups = [rollout_lib.chunked_rollout(
+                    wrapped, inputs, forcings, mkeys[i],
+                    chunk_size=args.chunk_size, teacher_targets=teacher,
+                    overlap_offload=not args.no_overlap_offload)[None]
+                for i in range(args.num_members)]
+    elif args.member_chunk:
+      mc = args.member_chunk
+      groups = [np.asarray(ensemble_lib.ensemble_rollout(
+                    wrapped, inputs, forcings, key,
+                    num_members=min(mc, args.num_members - lo),
+                    teacher_targets=teacher, keys=mkeys[lo:lo + mc]))
+                for lo in range(0, args.num_members, mc)]
+    else:
+      # All members in one traced program (vmapped over member keys).
+      groups = [np.asarray(ensemble_lib.ensemble_rollout(
+          wrapped, inputs, forcings, key, num_members=args.num_members,
+          teacher_targets=teacher, keys=mkeys))]
+    preds = np.concatenate(groups, axis=0)[:, :, 0]  # [M, K, lat, lon, C]
   ens_mean = preds.mean(axis=0)
 
   d = model.denoiser if hasattr(model, 'denoiser') else model
@@ -144,14 +182,14 @@ def main(argv=None):
   results = {'rmse': rmse, 'steps': k, 'members': args.num_members}
 
   if preds.shape[0] > 1:
-    # Probabilistic scores (GenCast's headline metrics).
+    # Probabilistic scores (GenCast's headline metrics), streamed over
+    # latitude bands so 50-member 0.25-degree ensembles score on one chip.
     from gencast_tpu.data import layout as L
     from gencast_tpu.ops import metrics as metrics_lib
-    latw = jnp.asarray(L.latitude_weights(statics.grid_lat))
-    mem = jnp.asarray(preds)        # [M, K, lat, lon, C]
-    tru = jnp.asarray(truth)        # [K, lat, lon, C]
-    crps_pc = metrics_lib.crps_ensemble(mem, tru, latw).mean(axis=0)
-    spread_pc = metrics_lib.ensemble_spread(mem, latw).mean(axis=0)
+    latw = np.asarray(L.latitude_weights(statics.grid_lat))
+    scores = metrics_lib.score_ensemble_chunked(preds, truth, latw)
+    crps_pc = scores['crps'].mean(axis=0)
+    spread_pc = scores['spread'].mean(axis=0)
     results['crps'] = {k2: float(v) for k2, v in metrics_lib.per_variable(
         crps_pc, d.target_layout).items()}
     results['spread'] = {k2: float(v) for k2, v in metrics_lib.per_variable(

@@ -35,3 +35,24 @@ def test_train_and_evaluate_cycle(tmp_path, model):
   assert 'rmse' in metrics and metrics['steps'] == 2
   assert os.path.exists(os.path.join(out, 'rollout.npz'))
   assert os.path.exists(os.path.join(out, 'triptych_2m_temperature.png'))
+
+
+def test_evaluate_chunked_paths_match_unchunked(tmp_path):
+  """--chunk_size and --member_chunk must reproduce the one-shot rollout
+  exactly (same folded member keys, same global step-key split)."""
+  import numpy as np
+
+  from gencast_tpu.training import evaluate
+
+  base = ['--preset', 'tiny', '--data', 'synthetic',
+          '--max_rollout_steps', '3', '--num_members', '2',
+          '--plot_vars']  # no plots: keep the 3 runs fast
+  outs = {}
+  for name, extra in [('oneshot', []),
+                      ('chunked', ['--chunk_size', '1']),
+                      ('members', ['--member_chunk', '1'])]:
+    out = str(tmp_path / name)
+    evaluate.main(base + ['--out_dir', out] + extra)
+    outs[name] = np.load(os.path.join(out, 'rollout.npz'))['predictions']
+  np.testing.assert_array_equal(outs['oneshot'], outs['chunked'])
+  np.testing.assert_array_equal(outs['oneshot'], outs['members'])
