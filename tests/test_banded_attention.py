@@ -47,9 +47,15 @@ def test_forward_matches_oracle(nb, bs, h, d):
   v = jax.random.normal(kv, (2, n, h, d))
   mask = jnp.asarray(_random_mask(nb, bs, seed=1))
 
+  # Primal path (XLA einsum, used undifferentiated at inference).
   got = ba.banded_attention(q, k, v, mask, bs)
   want = _reference(q, k, v, mask, bs)
   np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=1e-5, rtol=1e-5)
+  # AD fwd path (fused Pallas kernel) must match the same oracle.
+  got_pallas, _ = jax.vjp(lambda q: ba.banded_attention(q, k, v, mask, bs),
+                          q)
+  np.testing.assert_allclose(np.asarray(got_pallas), np.asarray(want),
                              atol=1e-5, rtol=1e-5)
 
 

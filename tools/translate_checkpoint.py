@@ -61,14 +61,22 @@ def main():
   from gencast_tpu.training import npz_checkpoint, translate
   from gencast_tpu.training.train import build_spec
 
-  if args.ref.endswith('.npz'):
-    ref_tree = npz_checkpoint.load(args.ref)
-    if 'params' in ref_tree:
-      ref_tree = ref_tree['params']
-  else:
-    ref_tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.ref))
+  from gencast_tpu.training import deepmind_checkpoint as dm_ckpt
 
-  denoiser_tree = _find_denoiser_subtree(ref_tree)
+  if args.ref.endswith('.npz') and dm_ckpt.is_checkpoint_npz(args.ref):
+    # Published-DeepMind CheckPoint container (flattened dataclass npz,
+    # Haiku-era naming normalized inside denoiser_state).
+    tree = dm_ckpt.load(args.ref)
+    denoiser_tree = dm_ckpt.find_denoiser(
+        dm_ckpt.normalize_params(tree['params']))
+  else:
+    if args.ref.endswith('.npz'):
+      ref_tree = npz_checkpoint.load(args.ref)
+      if 'params' in ref_tree:
+        ref_tree = ref_tree['params']
+    else:
+      ref_tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.ref))
+    denoiser_tree = _find_denoiser_subtree(ref_tree)
 
   class _A:
     preset = args.preset
