@@ -19,17 +19,38 @@ between a 1-rep and an N-rep program with a scalar host readback. This is
 required on this hardware setup: per-call dispatch timings through the
 remote TPU relay are unreliable (repeated identical dispatches get
 elided). The samplers are already 39-call on-device loops, timed wall-
-clock post-warmup. Set BENCH_SKIP_1DEG=1 to emit only the nano metrics.
+clock post-warmup.
+
+Driver contract (this script is run unattended under an external
+timeout): each section runs in its own child process with a deadline
+derived from BENCH_BUDGET_S (default 480 s of total wall clock); a
+section that would not fit the remaining budget is skipped with a note,
+a section that hangs (e.g. a stuck TPU relay call, which no in-process
+guard can interrupt) is killed at its deadline, and the parent ALWAYS
+exits 0 with whatever metrics were emitted before. Knobs:
+  BENCH_BUDGET_S   total wall-clock budget, seconds (default 480)
+  BENCH_SECTIONS   comma list from {tiny,nano,onedeg,qdeg} (default
+                   'nano,onedeg,qdeg'; 'tiny' is the CPU-sized config
+                   the test tier uses to exercise this plumbing)
+  BENCH_SKIP_1DEG / BENCH_SKIP_QDEG  legacy single-section skips
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 REPS = 21
+_T0 = time.time()
+
+# Conservative per-section wall-clock estimates with warm disk caches
+# (graph pickles + persistent XLA cache), used only to decide whether a
+# section still fits the remaining budget. Calibrated on the real chip
+# 2026-08-17; cold-cache overruns are handled by the child deadline kill.
+_EST_S = {'tiny': 60, 'nano': 200, 'onedeg': 130, 'qdeg': 260}
 
 
 def _emit(metric, value, unit):
@@ -184,17 +205,76 @@ def bench_quarterdeg():
                              jax.random.fold_in(key, i + 1))
     jax.block_until_ready(loss)
     ts.append(time.time() - t0)
+    if _deadline_remaining() < 3 * ts[-1]:
+      break  # land the metric with the reps that fit the budget
   _emit('quarterdeg_train_step_sec', min(ts), 's/step')
 
 
-def main():
-  from gencast_tpu import configs
+def _deadline_remaining(default: float = 1e9) -> float:
+  """Seconds until this (child) process's deadline, from BENCH_DEADLINE."""
+  dl = os.environ.get('BENCH_DEADLINE')
+  return float(dl) - time.time() if dl else default
 
-  bench_model(configs.NANO, 'nano', train_reps=REPS, fwd=True)
-  if not os.environ.get('BENCH_SKIP_1DEG'):
+
+def _run_section(name: str) -> None:
+  from gencast_tpu import configs
+  if name == 'tiny':
+    bench_model(configs.TINY, 'tiny', train_reps=3, fwd=True)
+  elif name == 'nano':
+    bench_model(configs.NANO, 'nano', train_reps=REPS, fwd=True)
+  elif name == 'onedeg':
     bench_model(configs.ONE_DEG, 'onedeg', train_reps=9)
-  if not os.environ.get('BENCH_SKIP_QDEG'):
+  elif name == 'qdeg':
     bench_quarterdeg()
+  else:
+    raise ValueError(f'unknown bench section {name!r}')
+
+
+def main():
+  if os.environ.get('BENCH_CPU'):
+    # Test-tier escape hatch: this machine's sitecustomize forces the
+    # axon TPU platform via env, so only a pre-init config update
+    # selects CPU.
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+  section = os.environ.get('BENCH_SECTION')
+  if section:  # child mode: run exactly one section, normal exit codes.
+    _run_section(section)
+    return
+
+  budget = float(os.environ.get('BENCH_BUDGET_S', '480'))
+  names = os.environ.get('BENCH_SECTIONS', 'nano,onedeg,qdeg').split(',')
+  names = [n.strip() for n in names if n.strip()]
+  if os.environ.get('BENCH_SKIP_1DEG'):
+    names = [n for n in names if n != 'onedeg']
+  if os.environ.get('BENCH_SKIP_QDEG'):
+    names = [n for n in names if n != 'qdeg']
+
+  def remaining():
+    return budget - (time.time() - _T0)
+
+  for i, name in enumerate(names):
+    rem = remaining()
+    if i > 0 and rem < _EST_S.get(name, 120):
+      print(f'[bench] SKIP {name}: {rem:.0f}s of budget left, '
+            f'~{_EST_S.get(name, 120)}s needed '
+            f'(raise BENCH_BUDGET_S to include it)', file=sys.stderr)
+      continue
+    deadline = max(20.0, rem - 10.0)
+    env = dict(os.environ, BENCH_SECTION=name,
+               BENCH_DEADLINE=str(time.time() + deadline))
+    try:
+      proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                            env=env, timeout=deadline)
+      if proc.returncode != 0:
+        print(f'[bench] section {name} exited rc={proc.returncode}; '
+              f'moving on', file=sys.stderr)
+    except subprocess.TimeoutExpired:
+      print(f'[bench] section {name} hit its {deadline:.0f}s deadline; '
+            f'killed, moving on', file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - never fail the driver run
+      print(f'[bench] section {name} failed: {e}', file=sys.stderr)
+  sys.exit(0)
 
 
 if __name__ == '__main__':

@@ -72,6 +72,13 @@ class ModelSpec:
   use_donated_step: bool = False
 
 
+# CPU-friendly smoke config (tests, CI, bench plumbing); not a reference
+# preset.
+TINY = ModelSpec(
+    name='tiny', task=registry.GENCAST_TASK, resolution_deg=10.0,
+    mesh_splits=2, d_model=64, num_layers=2, num_heads=2,
+    attention_k_hop=4, ffw_hidden=128)
+
 # The reference demo model (training/train.py defaults: mesh 4, d_model 256,
 # 16 layers, 4 heads, k_hop 8, 2.5-degree data). The fused tri-block Pallas
 # kernel beats the XLA einsum triblock 18.6 vs 24.7 ms/train-step here (it
@@ -102,7 +109,7 @@ QUARTER_DEG = ModelSpec(
     cast_bf16=True,
     use_donated_step=True)
 
-SPECS = {s.name: s for s in (NANO, ONE_DEG, QUARTER_DEG)}
+SPECS = {s.name: s for s in (TINY, NANO, ONE_DEG, QUARTER_DEG)}
 
 
 def grid_for_resolution(deg: float) -> Tuple[np.ndarray, np.ndarray]:

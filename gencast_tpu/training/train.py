@@ -84,14 +84,7 @@ def parse_args(argv=None):
 
 def build_spec(args):
   from gencast_tpu import configs
-  from gencast_tpu.data import registry
-  if args.preset == 'tiny':
-    spec = configs.ModelSpec(
-        name='tiny', task=registry.GENCAST_TASK, resolution_deg=10.0,
-        mesh_splits=2, d_model=64, num_layers=2, num_heads=2,
-        attention_k_hop=4, ffw_hidden=128)
-  else:
-    spec = configs.SPECS[args.preset]
+  spec = configs.SPECS[args.preset]
   overrides = {}
   if args.mesh_size is not None:
     overrides['mesh_splits'] = args.mesh_size

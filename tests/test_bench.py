@@ -1,0 +1,30 @@
+"""Driver-contract smoke for bench.py: it must emit metric JSON lines and
+exit 0 within a wall-clock budget, skipping sections that do not fit
+(round-2 regression: the driver's bench run timed out inside the 0.25-deg
+section and the whole artifact landed as rc=124 with no qdeg metric)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_budget_guard_and_json_contract():
+  env = dict(os.environ)
+  env.update(BENCH_CPU='1', BENCH_SECTIONS='tiny,nano,onedeg,qdeg',
+             BENCH_BUDGET_S='240')
+  r = subprocess.run([sys.executable, os.path.join(REPO, 'bench.py')],
+                     capture_output=True, text=True, env=env, cwd=REPO,
+                     timeout=300)
+  assert r.returncode == 0, f'STDOUT:\n{r.stdout}\nSTDERR:\n{r.stderr}'
+  lines = [l for l in r.stdout.splitlines() if l.startswith('{')]
+  assert len(lines) >= 3, f'expected tiny metrics, got:\n{r.stdout}'
+  for line in lines:
+    m = json.loads(line)
+    assert {'metric', 'value', 'unit', 'vs_baseline'} <= set(m)
+    assert isinstance(m['value'], (int, float)) and m['value'] > 0
+  # The big sections cannot fit the remaining budget on CPU -> graceful
+  # skip messages, not a timeout.
+  assert 'SKIP' in r.stderr, r.stderr

@@ -115,3 +115,12 @@ def test_ensemble_rollout_end_to_end():
   mean, std = ensemble.ensemble_statistics(out, mesh)
   assert mean.shape == out.shape[1:]
   assert bool(jnp.isfinite(std).all())
+
+
+def test_production_kernels_under_sharded_mesh():
+  """Pins the kernel-bearing dryrun configs (nano-shaped triblock_pallas +
+  tile-plan flash backend with agg plans / streamed edges / node sharding)
+  to the 8-device mesh; see __graft_entry__.dryrun_production_kernels."""
+  import __graft_entry__ as entrypoints
+  mesh = meshes.make_mesh(2, 2, 2)
+  entrypoints.dryrun_production_kernels(mesh, 2, 2, 2)
