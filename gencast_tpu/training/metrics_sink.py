@@ -9,6 +9,7 @@ air-gapped TPU environments; the flag degrades to a warning).
 from __future__ import annotations
 
 import json
+import os
 import time
 from typing import Optional
 
@@ -19,7 +20,12 @@ class MetricsSink:
   def __init__(self, jsonl_path: Optional[str] = None,
                use_wandb: bool = False, wandb_project: str = 'gencast_tpu',
                run_config: Optional[dict] = None):
-    self._file = open(jsonl_path, 'a') if jsonl_path else None
+    self._file = None
+    if jsonl_path:
+      parent = os.path.dirname(jsonl_path)
+      if parent:
+        os.makedirs(parent, exist_ok=True)
+      self._file = open(jsonl_path, 'a')
     self._wandb = None
     if use_wandb:
       # Broad except: in air-gapped environments wandb.init fails with
@@ -40,6 +46,19 @@ class MetricsSink:
       self._file.flush()
     if self._wandb is not None:
       self._wandb.log({f'{event}/{k}': v for k, v in values.items()},
+                      step=step)
+
+  def log_image(self, event: str, step: int, name: str, path: str):
+    """Mirrors an image file (e.g. an eval triptych PNG) to wandb; the
+    JSONL record keeps only the path. Reference role: training-time
+    triptych logging (reference training/train_helpers.py:366-391)."""
+    if self._file is not None:
+      self._file.write(json.dumps(
+          {'event': event, 'step': step, 'time': time.time(),
+           'image': name, 'path': path}) + '\n')
+      self._file.flush()
+    if self._wandb is not None:
+      self._wandb.log({f'{event}/{name}': self._wandb.Image(path)},
                       step=step)
 
   def close(self):

@@ -300,6 +300,21 @@ def main(argv=None):
           (preds[0, 0] - jnp.asarray(w.targets)) ** 2)))
       print(f'[train] sampling eval rmse={rmse:.4f}')
       sink.log('sampling_eval', step + 1, rmse=rmse)
+      if args.metrics_jsonl or args.wandb:
+        # Training-time triptych image (reference logs sampled images to
+        # wandb during training, train.py:336-403).
+        from gencast_tpu.training import plotting
+        d = model.denoiser if hasattr(model, 'denoiser') else model
+        var = d.target_layout.var_names[0]
+        ch = d.target_layout.var_channels(var)[0]
+        img_dir = os.path.dirname(args.metrics_jsonl) if args.metrics_jsonl \
+            else (args.ckpt_dir or '/tmp')
+        img = os.path.join(img_dir, f'eval_{var}_step{step + 1}.png')
+        plotting.plot_triptych(
+            np.asarray(preds[0, 0, :, :, ch]),
+            np.asarray(w.targets)[:, :, ch],
+            statics.grid_lat, statics.grid_lon, var, img)
+        sink.log_image('sampling_eval', step + 1, var, img)
 
   sync_functional_state()
   if manager is not None:
