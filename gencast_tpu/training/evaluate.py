@@ -42,6 +42,9 @@ def parse_args(argv=None):
                       'chunked rollouts (required on unstable remote '
                       'TPU relays; see CLAUDE.md 0.25deg recipe)')
   p.add_argument('--teacher_forcing', action='store_true')
+  p.add_argument('--bf16', action='store_true', default=None,
+                 help='bf16 compute with f32 master weights '
+                      '(default: the preset decides)')
   p.add_argument('--plot_vars', nargs='*',
                  default=['2m_temperature'])
   p.add_argument('--seed', type=int, default=0)
@@ -108,7 +111,13 @@ def main(argv=None):
   else:
     stats = sources.compute_stats(source)
 
+  # Wrapper stack mirrors train.py: Bfloat16Cast innermost, NaNCleaner,
+  # then InputsAndResiduals.
   wrapped = model
+  if args.bf16 or (args.bf16 is None and spec.cast_bf16):
+    from gencast_tpu.models import casting
+    wrapped = casting.Bfloat16Cast(wrapped)
+    print('[eval] bf16 compute enabled')
   if args.clean_sst_nans and \
       'sea_surface_temperature' in task.input_variables:
     # NaNCleaner sits INSIDE InputsAndResiduals, so it sees normalized
