@@ -144,6 +144,13 @@ GRAPHCAST_TASK_13 = TaskSpec(
 GRAPHCAST_TASK_37 = dataclasses.replace(
     GRAPHCAST_TASK_13, pressure_levels=PRESSURE_LEVELS_ERA5_37)
 
+TASKS = {
+    'gencast': GENCAST_TASK,
+    'gencast_full': GENCAST_TASK_FULL,
+    'graphcast_13': GRAPHCAST_TASK_13,
+    'graphcast_37': GRAPHCAST_TASK_37,
+}
+
 
 def is_atmospheric(name: str) -> bool:
   return name in ALL_ATMOSPHERIC_VARS

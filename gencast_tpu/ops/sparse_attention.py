@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -41,6 +42,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+
+# Per-grid-step VMEM budget for head folding (MB). Mosaic's default 16MB
+# scoped budget caps hpb at 2 for tile=512, d=128; raising it (with an
+# explicit vmem_limit_bytes) allows hpb=4. Env-tunable for A/B runs.
+_HPB_BUDGET_MB = int(os.environ.get('GENCAST_SPARSE_HPB_BUDGET_MB', '12'))
 
 
 # ---------------------------------------------------------------------------
@@ -132,7 +138,7 @@ def _interpret() -> bool:
 
 
 def _heads_per_block(h: int, tile: int, d: int,
-                     budget_bytes: int = 12 * 2 ** 20) -> int:
+                     budget_bytes: int = None) -> int:
   """Largest divisor of h whose per-grid-step VMEM footprint fits.
 
   Folding heads into the kernel body amortizes the fixed per-grid-step
@@ -140,6 +146,8 @@ def _heads_per_block(h: int, tile: int, d: int,
   kernels keep ~6 double-buffered [hpb, tile, d] f32 tensors plus two
   scratch accumulators live (observed 18.4MB at hpb=4, tile=512, d=128
   against the 16MB VMEM)."""
+  if budget_bytes is None:
+    budget_bytes = _HPB_BUDGET_MB * 2 ** 20
   per_head = tile * d * 4 * 14  # 6 io tensors x2 (pipeline) + 2 scratch
   hpb = max(1, min(h, budget_bytes // per_head))
   while h % hpb:
@@ -281,6 +289,14 @@ def _dkv_kernel(ids_ref, pids_ref, k_ref, v_ref, q_ref, do_ref, lse_ref,
 
 
 def _compiler_params():
+  if _HPB_BUDGET_MB > 12:
+    # A raised head-fold budget overruns Mosaic's default 16MB scoped
+    # VMEM; lift the cap explicitly (cf. banded_attention's conditional
+    # cap, which is only raised when needed because Mosaic schedules
+    # ~15% worse under a high cap at small folded sizes).
+    return pltpu.CompilerParams(
+        dimension_semantics=('parallel', 'arbitrary', 'arbitrary'),
+        vmem_limit_bytes=100 * 1024 * 1024)
   return pltpu.CompilerParams(
       dimension_semantics=('parallel', 'arbitrary', 'arbitrary'))
 
