@@ -85,8 +85,11 @@ def bench_model(spec, tag, train_reps, fwd=False):
 
   t0 = time.time()
   model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(0))
+  if spec.cast_bf16:
+    from gencast_tpu.models import casting
+    model = casting.Bfloat16Cast(model)
   print(f'[{tag}] model build: {time.time()-t0:.1f}s', file=sys.stderr)
-  d = model.denoiser
+  d = (model.predictor if hasattr(model, 'predictor') else model).denoiser
   nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
   rng = np.random.default_rng(0)
 

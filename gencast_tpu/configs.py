@@ -90,12 +90,19 @@ NANO = ModelSpec(
     attention_k_hop=8, attention_type='triblock_pallas')
 
 # GenCast 1deg (README.md:168-175: splits=5, 1-degree, full variable set).
+# bf16 compute with f32 master weights is the default: it is the dtype
+# GenCast was actually trained in by DeepMind (the reference fork ships
+# the same Bfloat16Cast wrapper but never wires it into training), and on
+# a v5e it takes the train step from 209.9 to 173.8 ms (real-chip A/B,
+# 2026-08-17; the MXU-bound attention backward and the HBM-bound GNN tail
+# both scale with dtype width). --no_bf16 equivalents: train.py/evaluate
+# accept explicit flags; cast_bf16=False restores the f32 step.
 ONE_DEG = ModelSpec(
     name='1deg', task=registry.GENCAST_TASK_FULL, resolution_deg=1.0,
     mesh_splits=5, d_model=512, num_layers=16, num_heads=4,
     attention_k_hop=16, attention_type='pallas',
     stochastic_churn_rate=2.5, remat_policy='save_attention',
-    use_agg_plans=True)
+    use_agg_plans=True, cast_bf16=True)
 
 # Paper-scale 0.25-degree splits=6 (README.md:157-166).
 QUARTER_DEG = ModelSpec(

@@ -42,9 +42,10 @@ def parse_args(argv=None):
                       'chunked rollouts (required on unstable remote '
                       'TPU relays; see CLAUDE.md 0.25deg recipe)')
   p.add_argument('--teacher_forcing', action='store_true')
-  p.add_argument('--bf16', action='store_true', default=None,
+  p.add_argument('--bf16', action=argparse.BooleanOptionalAction,
+                 default=None,
                  help='bf16 compute with f32 master weights '
-                      '(default: the preset decides)')
+                      '(default: the preset decides; --no-bf16 forces f32)')
   p.add_argument('--plot_vars', nargs='*',
                  default=['2m_temperature'])
   p.add_argument('--seed', type=int, default=0)

@@ -51,9 +51,10 @@ def parse_args(argv=None):
   # Wrappers.
   p.add_argument('--no_normalization', action='store_true',
                  help='skip the InputsAndResiduals wrapper')
-  p.add_argument('--bf16', action='store_true', default=None,
+  p.add_argument('--bf16', action=argparse.BooleanOptionalAction,
+                 default=None,
                  help='bf16 compute with f32 master weights '
-                      '(default: the preset decides)')
+                      '(default: the preset decides; --no-bf16 forces f32)')
   p.add_argument('--functional_step', action='store_true', default=None,
                  help='donated-state training step (no second params/opt '
                       'copy across the step; default: on for 0.25deg)')
