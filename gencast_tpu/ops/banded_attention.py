@@ -33,10 +33,13 @@ NEG_INF = -1e30
 
 def _fwd_kernel(md_ref, mu_ref, ml_ref, q_ref, kd_ref, ku_ref, kl_ref,
                 vd_ref, vu_ref, vl_ref, o_ref, lse_ref, *, scale):
-  q = q_ref[0].astype(jnp.float32)  # [b, d]
+  # Matmul operands keep the input dtype (bf16 MXU rate with f32
+  # accumulation under Bfloat16Cast; bitwise-identical f32 path
+  # otherwise); softmax math runs f32 on the accumulated logits.
+  q = q_ref[0]  # [b, d]
 
   def logits(k_ref, m_ref):
-    l = jax.lax.dot_general(q, k_ref[0].astype(jnp.float32),
+    l = jax.lax.dot_general(q, k_ref[0],
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     return jnp.where(m_ref[0, 0] != 0, l, NEG_INF)
@@ -53,7 +56,7 @@ def _fwd_kernel(md_ref, mu_ref, ml_ref, q_ref, kd_ref, ku_ref, kl_ref,
            + el.sum(-1, keepdims=True))
 
   def pv(e, v_ref):
-    return jax.lax.dot_general(e, v_ref[0].astype(jnp.float32),
+    return jax.lax.dot_general(e.astype(v_ref.dtype), v_ref[0],
                                (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
@@ -71,17 +74,18 @@ def _fwd_kernel(md_ref, mu_ref, ml_ref, q_ref, kd_ref, ku_ref, kl_ref,
 def _dq_kernel(md_ref, mu_ref, ml_ref, q_ref, kd_ref, ku_ref, kl_ref,
                vd_ref, vu_ref, vl_ref, do_ref, lse_ref, delta_ref,
                dq_ref, *, scale):
-  q = q_ref[0].astype(jnp.float32)
-  do = do_ref[0].astype(jnp.float32)
+  # Input-dtype matmul operands; see _fwd_kernel.
+  q = q_ref[0]
+  do = do_ref[0]
   lse = lse_ref[0]     # [bs, 1]
   delta = delta_ref[0]  # [bs, 1]
 
-  dq = jnp.zeros_like(q)
+  dq = jnp.zeros((q.shape[0], q.shape[1]), jnp.float32)
   for k_ref, v_ref, m_ref in ((kd_ref, vd_ref, md_ref),
                               (ku_ref, vu_ref, mu_ref),
                               (kl_ref, vl_ref, ml_ref)):
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]
+    v = v_ref[0]
     logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
     logits = jnp.where(m_ref[0, 0] != 0, logits, NEG_INF)
@@ -89,7 +93,8 @@ def _dq_kernel(md_ref, mu_ref, ml_ref, q_ref, kd_ref, ku_ref, kl_ref,
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = w * (dp - delta)
-    dq = dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+    dq = dq + jax.lax.dot_general(ds.astype(k.dtype), k,
+                                  (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
   dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
@@ -106,29 +111,32 @@ def _dkv_kernel(md_ref, ml_ref, mu_ref, k_ref, v_ref, qd_ref, qu_ref,
   mask[1][j-1]. The index maps pass exactly those blocks (transposed roles
   are handled by transposing w).
   """
-  k = k_ref[0].astype(jnp.float32)
-  v = v_ref[0].astype(jnp.float32)
+  # Input-dtype matmul operands; see _fwd_kernel.
+  k = k_ref[0]
+  v = v_ref[0]
 
-  dk = jnp.zeros_like(k)
-  dv = jnp.zeros_like(v)
+  dk = jnp.zeros((k.shape[0], k.shape[1]), jnp.float32)
+  dv = jnp.zeros((v.shape[0], v.shape[1]), jnp.float32)
   for q_ref, do_ref, lse_ref, delta_ref, m_ref in (
       (qd_ref, dod_ref, lsed_ref, deltad_ref, md_ref),
       (qu_ref, dou_ref, lseu_ref, deltau_ref, ml_ref),
       (ql_ref, dol_ref, lsel_ref, deltal_ref, mu_ref)):
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0]     # [bs, 1]
     delta = delta_ref[0]  # [bs, 1]
     logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
     logits = jnp.where(m_ref[0, 0] != 0, logits, NEG_INF)
     w = jnp.exp(logits - lse)  # [bq, bk]
-    dv = dv + jax.lax.dot_general(w, do, (((0,), (0,)), ((), ())),
+    dv = dv + jax.lax.dot_general(w.astype(do.dtype), do,
+                                  (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = w * (dp - delta)
-    dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+    dk = dk + jax.lax.dot_general(ds.astype(q.dtype), q,
+                                  (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
   dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
   dv_ref[0] = dv.astype(dv_ref.dtype)

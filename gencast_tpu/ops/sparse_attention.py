@@ -188,9 +188,14 @@ def _fwd_kernel(ids_ref, pids_ref, q_ref, k_ref, v_ref, m_ref,
   mask = m_ref[0] != 0
 
   for h in range(num_heads):
-    q = q_ref[0, h].astype(jnp.float32)
-    k = k_ref[0, h].astype(jnp.float32)
-    v = v_ref[0, h].astype(jnp.float32)
+    # Matmul operands keep the input dtype: with bf16 inputs the MXU runs
+    # at bf16 rate with f32 accumulation (preferred_element_type), the
+    # same numerics XLA gives a bf16 einsum; with f32 inputs this is
+    # bitwise the old always-f32 path. Softmax math stays f32 on the
+    # accumulated logits.
+    q = q_ref[0, h]
+    k = k_ref[0, h]
+    v = v_ref[0, h]
 
     logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
@@ -205,7 +210,8 @@ def _fwd_kernel(ids_ref, pids_ref, q_ref, k_ref, v_ref, m_ref,
     row_max[h] = m_new
     row_sum[h] = row_sum[h] * alpha + p.sum(-1, keepdims=True)
     acc[h] = acc[h] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
   @pl.when(a == num_active - 1)
   def _():
@@ -226,10 +232,13 @@ def _dq_kernel(ids_ref, pids_ref, q_ref, k_ref, v_ref, m_ref, do_ref,
   mask = m_ref[0] != 0
 
   for h in range(num_heads):
-    q = q_ref[0, h].astype(jnp.float32)
-    k = k_ref[0, h].astype(jnp.float32)
-    v = v_ref[0, h].astype(jnp.float32)
-    do = do_ref[0, h].astype(jnp.float32)
+    # Input-dtype matmul operands (bf16 MXU rate with f32 accumulation
+    # for bf16 models; bitwise-identical f32 path otherwise) — see
+    # _fwd_kernel. exp/ds math stays f32 on the accumulators.
+    q = q_ref[0, h]
+    k = k_ref[0, h]
+    v = v_ref[0, h]
+    do = do_ref[0, h]
     lse = lse_ref[0, h]      # [t, 1]
     delta = delta_ref[0, h]  # [t, 1]
 
@@ -239,7 +248,8 @@ def _dq_kernel(ids_ref, pids_ref, q_ref, k_ref, v_ref, m_ref, do_ref,
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = w * (dp - delta)
-    dq_acc[h] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+    dq_acc[h] += jax.lax.dot_general(ds.astype(k.dtype), k,
+                                     (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
 
   @pl.when(a == num_active - 1)
@@ -260,22 +270,25 @@ def _dkv_kernel(ids_ref, pids_ref, k_ref, v_ref, q_ref, do_ref, lse_ref,
   mask = m_ref[0] != 0  # [q-tile rows, kv-tile cols]
 
   for h in range(num_heads):
-    k = k_ref[0, h].astype(jnp.float32)
-    v = v_ref[0, h].astype(jnp.float32)
-    q = q_ref[0, h].astype(jnp.float32)
-    do = do_ref[0, h].astype(jnp.float32)
+    # Input-dtype matmul operands; see _fwd_kernel.
+    k = k_ref[0, h]
+    v = v_ref[0, h]
+    q = q_ref[0, h]
+    do = do_ref[0, h]
     lse = lse_ref[0, h]
     delta = delta_ref[0, h]
 
     logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
     w = jnp.where(mask, jnp.exp(logits - lse), 0.0)      # [tq, tk]
-    dv_acc[h] += jax.lax.dot_general(w, do, (((0,), (0,)), ((), ())),
+    dv_acc[h] += jax.lax.dot_general(w.astype(do.dtype), do,
+                                     (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = w * (dp - delta)                                # [tq, tk]
-    dk_acc[h] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+    dk_acc[h] += jax.lax.dot_general(ds.astype(q.dtype), q,
+                                     (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
 
   @pl.when(a == num_active - 1)

@@ -82,6 +82,46 @@ def test_gradients_match_oracle():
                                atol=2e-5, rtol=2e-5, err_msg=f'd{name}')
 
 
+def test_bf16_inputs_match_f32_oracle_loosely():
+  """bf16 operands (Bfloat16Cast models) run the MXU at input dtype with
+  f32 accumulation; outputs/grads must track the f32 oracle at bf16
+  tolerance and keep bf16 dtypes."""
+  n, bw, tile = 96, 24, 16
+  csr = _random_banded_csr(n, bw, seed=5)
+  plan = sa.build_tile_plan(csr, tile=tile)
+  h, d = 2, 32
+  key = jax.random.PRNGKey(6)
+  kq, kk, kv, kg = jax.random.split(key, 4)
+  q = jax.random.normal(kq, (1, n, h, d))
+  k = jax.random.normal(kk, (1, n, h, d))
+  v = jax.random.normal(kv, (1, n, h, d))
+  cot = jax.random.normal(kg, (1, n, h, d))
+  mt, fi, fp, bw_arrs, meta = _plan_args(plan)
+
+  def run(dtype):
+    def f(q, k, v):
+      return (sa.sparse_banded_attention(
+          q.astype(dtype), k.astype(dtype), v.astype(dtype),
+          mt, fi, fp, bw_arrs, meta).astype(jnp.float32) * cot).sum()
+    out = sa.sparse_banded_attention(
+        q.astype(dtype), k.astype(dtype), v.astype(dtype),
+        mt, fi, fp, bw_arrs, meta)
+    return out, jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+  out16, g16 = run(jnp.bfloat16)
+  out32, g32 = run(jnp.float32)
+  assert out16.dtype == jnp.bfloat16
+  scale = float(jnp.abs(out32).max())
+  np.testing.assert_allclose(
+      np.asarray(out16, np.float32), np.asarray(out32),
+      atol=0.03 * scale, rtol=0.05)
+  for a, b, name in zip(g16, g32, 'qkv'):
+    s = float(jnp.abs(b).max())
+    np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b),
+                               atol=0.05 * s, rtol=0.1,
+                               err_msg=f'd{name}')
+
+
 def test_plan_skips_empty_tiles():
   """The plan's active count must be well under dense for a sparse band."""
   n, bw, tile = 512, 32, 64
