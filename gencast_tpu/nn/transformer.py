@@ -238,12 +238,12 @@ class PallasSparseAttention(nnx.Module):
 
   def __call__(self, x: jnp.ndarray, attn_args) -> jnp.ndarray:
     from gencast_tpu.ops import sparse_attention
-    mask_tiles, fwd_ids, fwd_pids, bwd_q_ids, bwd_pair_ids = attn_args
+    mask_tiles, fwd_ids, fwd_pids, *bwd = attn_args
     cfg = self.cfg
     q, k, v = self.proj.split_heads(x)  # [B, N, H, hd]
     o = sparse_attention.sparse_banded_attention(
-        q, k, v, mask_tiles, fwd_ids, fwd_pids,
-        (bwd_q_ids, bwd_pair_ids), self.plan_meta)
+        q, k, v, mask_tiles, fwd_ids, fwd_pids, tuple(bwd),
+        self.plan_meta)
     o = o.reshape(o.shape[0], o.shape[1], cfg.num_heads * cfg.head_dim)
     return self.proj.out(o)
 
@@ -327,13 +327,21 @@ class MeshTransformer(nnx.Module):
       assert tile_plan is not None, (
           'pallas attention requires GraphStatics built with '
           'attention_tile_size > 0')
-      self.attn_operands = nnx.List([
+      from gencast_tpu.ops import sparse_attention
+      operands = [
           StaticData(jnp.asarray(tile_plan.mask_tiles)),
           StaticData(jnp.asarray(tile_plan.fwd_kv_ids)),
           StaticData(jnp.asarray(tile_plan.fwd_pair_ids)),
           StaticData(jnp.asarray(tile_plan.bwd_q_ids)),
           StaticData(jnp.asarray(tile_plan.bwd_pair_ids)),
-      ])
+      ]
+      if sparse_attention._FUSED_BWD:
+        # Opt-in fused two-pass backward (measured slower at 1-degree
+        # bf16; see ops/sparse_attention.py module docstring).
+        slot_ids, valid = sparse_attention.build_bwd_gather(tile_plan)
+        operands += [StaticData(jnp.asarray(slot_ids)),
+                     StaticData(jnp.asarray(valid))]
+      self.attn_operands = nnx.List(operands)
       block_kwargs = {'plan_meta': (tile_plan.tile, tile_plan.num_active_fwd,
                                     tile_plan.num_active_bwd)}
       self._hoisted_pad = tile_plan.padded_n

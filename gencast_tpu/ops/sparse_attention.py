@@ -19,9 +19,21 @@ reference, gencast/sparse_transformer.py:128-159, 402-455):
   read. Padded list entries repeat the previous K/V id (the pipeline
   elides the refetch) and point at a reserved all-zero mask tile,
   contributing exactly nothing.
-* Backward is fused: one kernel for dq (same plan) and one for dk/dv
-  (reverse plan: per kv tile, the q tiles that touch it), using saved
-  row logsumexp + delta — no attention-matrix materialization anywhere.
+* Backward defaults to two fused kernels: one for dq (same plan) and
+  one for dk/dv (reverse plan: per kv tile, the q tiles that touch
+  it), using saved row logsumexp + delta — no attention-matrix
+  materialization anywhere.
+* An OPTIONAL fused two-pass backward (`GENCAST_SPARSE_FUSED_BWD=1`)
+  sweeps the reverse plan ONCE, recomputing logits/exp a single time
+  per active pair: dk/dv accumulate in VMEM while each pair's dq
+  contribution is emitted as an input-dtype partial tile; a
+  host-precomputed gather (fwd slot -> flat reverse slot + validity
+  mask, `build_bwd_gather`) reduces the partials by q tile outside
+  the kernel. It saves 2 of 7 matmuls, half the exp/mask VPU work,
+  and one full q/k/v/do sweep per layer — but real-chip A/B at the
+  1-degree bf16 scale measured it SLOWER (186.1 vs 175.3 ms/step:
+  the partial-tile HBM round-trip + gather-reduce outweighs the
+  matmul saving once bf16 halves matmul cost), so it stays opt-in.
 
 All matmuls run on the MXU via preferred_element_type=f32. The simpler
 tri-block kernel in ops/banded_attention.py remains as a small-mesh
@@ -48,6 +60,16 @@ NEG_INF = -1e30
 # explicit vmem_limit_bytes) allows hpb=4 — measured 216.9 -> 209.9 ms
 # on the 1-degree train step (real-chip A/B, 2026-08-17). Env-tunable.
 _HPB_BUDGET_MB = int(os.environ.get('GENCAST_SPARSE_HPB_BUDGET_MB', '24'))
+
+# Fused two-pass backward (one shared logits recompute for dq+dk+dv) vs
+# the classic separate dq / dkv kernels. MeshTransformer supplies the
+# build_bwd_gather arrays (selecting the fused path) only when this is
+# set: real-chip A/B at 1 degree bf16 measured the fused kernel SLOWER
+# (186.1 vs 175.3 ms/train-step; the dq-partial HBM round-trip plus the
+# outer gather-reduce outweighs the 2/7 matmul saving once bf16 has
+# already halved the matmul cost), so it is OFF by default and kept as
+# an option for f32-dominated or higher-arity plans.
+_FUSED_BWD = os.environ.get('GENCAST_SPARSE_FUSED_BWD', '0') == '1'
 
 
 # ---------------------------------------------------------------------------
@@ -132,6 +154,38 @@ def build_tile_plan(mask_csr, tile: int = 512) -> TilePlan:
   return TilePlan(tile=tile, padded_n=padded_n, mask_tiles=mask_tiles,
                   fwd_kv_ids=fwd_kv, fwd_pair_ids=fwd_pid,
                   bwd_q_ids=bwd_q, bwd_pair_ids=bwd_pid)
+
+
+def build_bwd_gather(plan: TilePlan) -> Tuple[np.ndarray, np.ndarray]:
+  """Host-side gather map for the fused two-pass backward.
+
+  The fused kernel sweeps the reverse plan and writes each pair's dq
+  partial tile at flat slot `kj * B + b`. To reduce them by q tile,
+  each forward-plan slot (qi, a) must know which flat reverse slot
+  holds its partial.
+
+  Returns (slot_ids [nq, A] int32, valid [nq, A] float32): padded fwd
+  entries get slot 0 with valid 0 so the outer multiply-reduce ignores
+  them (every reverse slot IS written by the grid — padded reverse
+  entries write exact zeros via the all-zero pad mask tile — so no
+  garbage exists; valid only cancels the pad repeats).
+  """
+  pad = plan.mask_tiles.shape[0] - 1
+  nq, a_fwd = plan.fwd_kv_ids.shape
+  nk, b_bwd = plan.bwd_q_ids.shape
+  pos = {}
+  for kj in range(nk):
+    for b in range(b_bwd):
+      if plan.bwd_pair_ids[kj, b] != pad:
+        pos[(int(plan.bwd_q_ids[kj, b]), kj)] = kj * b_bwd + b
+  slot = np.zeros((nq, a_fwd), np.int32)
+  valid = np.zeros((nq, a_fwd), np.float32)
+  for qi in range(nq):
+    for a in range(a_fwd):
+      if plan.fwd_pair_ids[qi, a] != pad:
+        slot[qi, a] = pos[(qi, int(plan.fwd_kv_ids[qi, a]))]
+        valid[qi, a] = 1.0
+  return slot, valid
 
 
 def _interpret() -> bool:
@@ -297,6 +351,57 @@ def _dkv_kernel(ids_ref, pids_ref, k_ref, v_ref, q_ref, do_ref, lse_ref,
     dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _dkvq_kernel(ids_ref, pids_ref, k_ref, v_ref, q_ref, do_ref, lse_ref,
+                 delta_ref, m_ref, dk_ref, dv_ref, dqp_ref, dk_acc,
+                 dv_acc, *, scale, num_active, num_heads):
+  """Fused two-pass backward body: ONE logits/exp recompute per active
+  pair accumulates dk/dv over the kv tile's q list in VMEM AND emits
+  the pair's dq partial tile (reduced by q tile outside the kernel).
+  5 matmuls per pair vs 7 across the split dq/dkv kernels, one
+  q/k/v/do sweep instead of two, one exp/mask VPU pass instead of
+  two."""
+  a = pl.program_id(2)
+
+  @pl.when(a == 0)
+  def _():
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
+
+  mask = m_ref[0] != 0  # [q-tile rows, kv-tile cols]
+
+  for h in range(num_heads):
+    # Input-dtype matmul operands; see _fwd_kernel.
+    k = k_ref[0, h]
+    v = v_ref[0, h]
+    q = q_ref[0, h]
+    do = do_ref[0, h]
+    lse = lse_ref[0, h]
+    delta = delta_ref[0, h]
+
+    logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+    w = jnp.where(mask, jnp.exp(logits - lse), 0.0)      # [tq, tk]
+    dv_acc[h] += jax.lax.dot_general(w.astype(do.dtype), do,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = w * (dp - delta)                                # [tq, tk]
+    dk_acc[h] += jax.lax.dot_general(ds.astype(q.dtype), q,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    # dq partial, written unconditionally every grid step (padded pairs
+    # write exact zeros: their pad mask tile makes w == ds == 0).
+    dqp_ref[0, 0, h] = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dqp_ref.dtype)
+
+  @pl.when(a == num_active - 1)
+  def _():
+    dk_ref[0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers + custom VJP.
 # ---------------------------------------------------------------------------
@@ -401,6 +506,8 @@ def _sba_bwd(plan_meta, res, dout):
   tile, a_fwd, a_bwd = plan_meta
   (qf, kf, vf, lse, of, mask_tiles, fwd_ids, fwd_pids, bwd_arrays,
    qshape) = res
+  if len(bwd_arrays) == 4:
+    return _sba_bwd_fused(plan_meta, res, dout)
   bwd_q_ids, bwd_pair_ids = bwd_arrays
   b, n, h, d = qshape
   t = tile
@@ -458,6 +565,77 @@ def _sba_bwd(plan_meta, res, dout):
       compiler_params=_compiler_params(),
       interpret=_interpret(),
   )(bwd_q_ids, bwd_pair_ids, kf, vf, qf, dof, lse, delta, mask_tiles)
+
+  dq = _unfold(dq[:, :, :n], b, h)
+  dk = _unfold(dk[:, :, :n], b, h)
+  dv = _unfold(dv[:, :, :n], b, h)
+  return dq, dk, dv, None, None, None, None
+
+
+def _sba_bwd_fused(plan_meta, res, dout):
+  """Fused two-pass backward: ONE reverse-plan sweep accumulates dk/dv
+  in VMEM (as the classic dkv kernel does) and emits each pair's dq
+  partial tile in input dtype; a host-built gather (`build_bwd_gather`)
+  multiply-reduces the partials by q tile outside the kernel."""
+  tile, a_fwd, a_bwd = plan_meta
+  (qf, kf, vf, lse, of, mask_tiles, fwd_ids, fwd_pids, bwd_arrays,
+   qshape) = res
+  bwd_q_ids, bwd_pair_ids, slot_ids, valid = bwd_arrays
+  b, n, h, d = qshape
+  t = tile
+  hpb = qf.shape[1]
+  g = qf.shape[0]
+  padded_n = qf.shape[2]
+  nq = padded_n // t
+  scale = d ** -0.5
+  num_slots = nq * a_bwd
+
+  dof = _pad_nodes(_fold(dout, hpb), padded_n)
+  delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32),
+                  axis=-1, keepdims=True)
+
+  self_spec = pl.BlockSpec((1, hpb, t, d),
+                           lambda bi, kj, a, ids, pids: (bi, 0, kj, 0))
+  by_id = pl.BlockSpec(
+      (1, hpb, t, d), lambda bi, kj, a, ids, pids: (bi, 0, ids[kj, a], 0))
+  vec_by_id = pl.BlockSpec(
+      (1, hpb, t, 1), lambda bi, kj, a, ids, pids: (bi, 0, ids[kj, a], 0))
+  mask_by_pid = pl.BlockSpec(
+      (1, t, t), lambda bi, kj, a, ids, pids: (pids[kj, a], 0, 0))
+  partial_spec = pl.BlockSpec(
+      (1, 1, hpb, t, d),
+      lambda bi, kj, a, ids, pids: (bi, kj * a_bwd + a, 0, 0, 0))
+
+  dk, dv, dqp = pl.pallas_call(
+      functools.partial(_dkvq_kernel, scale=scale, num_active=a_bwd,
+                        num_heads=hpb),
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=(g, nq, a_bwd),
+          in_specs=[self_spec, self_spec, by_id, by_id, vec_by_id,
+                    vec_by_id, mask_by_pid],
+          out_specs=[self_spec, self_spec, partial_spec],
+          scratch_shapes=[pltpu.VMEM((hpb, t, d), jnp.float32),
+                          pltpu.VMEM((hpb, t, d), jnp.float32)],
+      ),
+      out_shape=[
+          jax.ShapeDtypeStruct(kf.shape, kf.dtype),
+          jax.ShapeDtypeStruct(vf.shape, vf.dtype),
+          jax.ShapeDtypeStruct((g, num_slots, hpb, t, d), qf.dtype),
+      ],
+      compiler_params=_compiler_params(),
+      interpret=_interpret(),
+  )(bwd_q_ids, bwd_pair_ids, kf, vf, qf, dof, lse, delta, mask_tiles)
+
+  # Gather each q tile's partials out of reverse-slot order and
+  # multiply-reduce in f32 (valid zeroes the padded fwd entries, which
+  # alias slot 0; every reverse slot IS written — padded reverse pairs
+  # write exact zeros via the all-zero pad mask tile).
+  gathered = dqp[:, slot_ids]                # [g, nq, A, hpb, t, d]
+  w = valid[None, :, :, None, None, None]
+  dq = (gathered * w).sum(axis=2) * scale    # f32 via the w promotion
+  dq = dq.transpose(0, 2, 1, 3, 4).reshape(g, hpb, padded_n, d)
+  dq = dq.astype(qf.dtype)
 
   dq = _unfold(dq[:, :, :n], b, h)
   dk = _unfold(dk[:, :, :n], b, h)

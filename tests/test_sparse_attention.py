@@ -31,10 +31,13 @@ def _dense_oracle(q, k, v, mask_dense):
   return jnp.einsum('bhqk,bkhd->bqhd', w, v)
 
 
-def _plan_args(plan):
+def _plan_args(plan, fused=True):
+  bwd = (jnp.asarray(plan.bwd_q_ids), jnp.asarray(plan.bwd_pair_ids))
+  if fused:
+    slot, valid = sa.build_bwd_gather(plan)
+    bwd = bwd + (jnp.asarray(slot), jnp.asarray(valid))
   return (jnp.asarray(plan.mask_tiles), jnp.asarray(plan.fwd_kv_ids),
-          jnp.asarray(plan.fwd_pair_ids),
-          (jnp.asarray(plan.bwd_q_ids), jnp.asarray(plan.bwd_pair_ids)),
+          jnp.asarray(plan.fwd_pair_ids), bwd,
           (plan.tile, plan.num_active_fwd, plan.num_active_bwd))
 
 
@@ -120,6 +123,35 @@ def test_bf16_inputs_match_f32_oracle_loosely():
     np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b),
                                atol=0.05 * s, rtol=0.1,
                                err_msg=f'd{name}')
+
+
+def test_fused_bwd_matches_classic_kernels():
+  """The fused two-pass backward (one logits recompute -> dq + dk/dv
+  partials + outer gather-reduce) must match the split dq/dkv kernels."""
+  n, bw, tile = 128, 40, 32
+  csr = _random_banded_csr(n, bw, seed=7)
+  plan = sa.build_tile_plan(csr, tile=tile)
+  h, d = 4, 32
+  key = jax.random.PRNGKey(8)
+  kq, kk, kv, kg = jax.random.split(key, 4)
+  q = jax.random.normal(kq, (2, n, h, d))
+  k = jax.random.normal(kk, (2, n, h, d))
+  v = jax.random.normal(kv, (2, n, h, d))
+  cot = jax.random.normal(kg, (2, n, h, d))
+
+  def grads(fused):
+    mt, fi, fp, bw_arrs, meta = _plan_args(plan, fused=fused)
+
+    def f(q, k, v):
+      return (sa.sparse_banded_attention(q, k, v, mt, fi, fp, bw_arrs,
+                                         meta) * cot).sum()
+    return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+  gf = grads(fused=True)
+  gc = grads(fused=False)
+  for a, b, name in zip(gf, gc, 'qkv'):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5, err_msg=f'd{name}')
 
 
 def test_plan_skips_empty_tiles():
