@@ -22,12 +22,14 @@ elided). The samplers are already 39-call on-device loops, timed wall-
 clock post-warmup.
 
 Driver contract (this script is run unattended under an external
-timeout): each section runs in its own child process with a deadline
-derived from BENCH_BUDGET_S (default 480 s of total wall clock); a
-section that would not fit the remaining budget is skipped with a note,
-a section that hangs (e.g. a stuck TPU relay call, which no in-process
-guard can interrupt) is killed at its deadline, and the parent ALWAYS
-exits 0 with whatever metrics were emitted before. Knobs:
+timeout): all sections run in ONE child process (a fresh process pays a
+60-160s relay stall on its first device op, so per-section children
+wasted minutes) with a deadline derived from BENCH_BUDGET_S (default
+480 s of total wall clock); a section that would not fit the remaining
+budget is skipped with a note, a hang (e.g. a stuck TPU relay call,
+which no in-process guard can interrupt) is killed at the deadline, and
+the parent ALWAYS exits 0 with whatever metrics were emitted before.
+Knobs:
   BENCH_BUDGET_S   total wall-clock budget, seconds (default 480)
   BENCH_SECTIONS   comma list from {tiny,nano,onedeg,qdeg} (default
                    'nano,onedeg,qdeg'; 'tiny' is the CPU-sized config
@@ -41,8 +43,6 @@ import subprocess
 import sys
 import time
 
-import numpy as np
-
 REPS = 21
 _T0 = time.time()
 
@@ -50,7 +50,7 @@ _T0 = time.time()
 # (graph pickles + persistent XLA cache), used only to decide whether a
 # section still fits the remaining budget. Calibrated on the real chip
 # 2026-08-17; cold-cache overruns are handled by the child deadline kill.
-_EST_S = {'tiny': 60, 'nano': 200, 'onedeg': 130, 'qdeg': 260}
+_EST_S = {'tiny': 60, 'nano': 200, 'onedeg': 130, 'qdeg': 180}
 
 
 def _emit(metric, value, unit):
@@ -59,11 +59,28 @@ def _emit(metric, value, unit):
   sys.stdout.flush()
 
 
+def _probe():
+  """Absorb the relay's first-op-after-idle stall (70-150s observed)
+  before any timed phase: tiny matmuls until one returns fast."""
+  import jax
+  import jax.numpy as jnp
+  t_all = time.time()
+  for i in range(4):
+    t0 = time.time()
+    x = jax.random.normal(jax.random.PRNGKey(i), (256, 256))
+    float((x @ x).sum())
+    dt = time.time() - t0
+    if dt < 1.0 or time.time() - t_all > 120:
+      break
+  print(f'[probe] relay warm in {time.time()-t_all:.1f}s', file=sys.stderr)
+
+
 def _timed(fn, make_args, iters=3):
   """Min wall time of fn(*make_args(i)) with a scalar readback, post-warmup.
 
   make_args must vary per i: identical repeated dispatches through the
-  relay get elided and time near zero.
+  relay get elided and time near zero. Stops early when the section
+  deadline approaches so a slow relay still lands a (noisier) metric.
   """
   float(fn(*make_args(-1)))
   times = []
@@ -72,6 +89,8 @@ def _timed(fn, make_args, iters=3):
     t0 = time.time()
     float(fn(*args))
     times.append(time.time() - t0)
+    if _deadline_remaining() < 3 * times[-1]:
+      break
   return min(times)
 
 
@@ -83,6 +102,7 @@ def bench_model(spec, tag, train_reps, fwd=False):
   from gencast_tpu import configs
   from gencast_tpu.training import steps
 
+  _probe()
   t0 = time.time()
   model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(0))
   if spec.cast_bf16:
@@ -91,14 +111,16 @@ def bench_model(spec, tag, train_reps, fwd=False):
   print(f'[{tag}] model build: {time.time()-t0:.1f}s', file=sys.stderr)
   d = (model.predictor if hasattr(model, 'predictor') else model).denoiser
   nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
-  rng = np.random.default_rng(0)
 
-  def arr(c):
-    return jnp.asarray(rng.standard_normal((1, nlat, nlon, c)), jnp.float32)
+  def arr(c, i):
+    # On-device generation (numpy + relay upload is minutes at 0.25 deg,
+    # seconds here — still worth skipping).
+    return jax.random.normal(jax.random.PRNGKey(i), (1, nlat, nlon, c),
+                             jnp.float32)
 
-  inputs = arr(d.input_layout.num_channels)
-  targets = arr(d.target_layout.num_channels)
-  forcings = arr(d.forcing_layout.num_channels)
+  inputs = arr(d.input_layout.num_channels, 0)
+  targets = arr(d.target_layout.num_channels, 1)
+  forcings = arr(d.forcing_layout.num_channels, 2)
   key = jax.random.PRNGKey(0)
 
   # --- denoiser forward (chained) ---
@@ -116,8 +138,10 @@ def bench_model(spec, tag, train_reps, fwd=False):
         return c.sum()
       return loop
 
+    t0 = time.time()
     t1 = _timed(loop_factory(1), lambda i: (targets + float(i),))
     tn = _timed(loop_factory(REPS), lambda i: (targets + float(i),))
+    print(f'[{tag}] fwd phase wall: {time.time()-t0:.1f}s', file=sys.stderr)
     dt = (tn - t1) / (REPS - 1)
     print(f'[{tag}] denoiser fwd: {dt*1000:.2f} ms/step', file=sys.stderr)
     _emit(f'{tag}_denoiser_steps_per_sec', 1.0 / dt, 'steps/s/chip')
@@ -144,9 +168,11 @@ def bench_model(spec, tag, train_reps, fwd=False):
       return losses.sum()
     return loop
 
+  t0 = time.time()
   t1 = _timed(train_loop_factory(1), lambda i: (state, inputs + float(i)))
   tn = _timed(train_loop_factory(train_reps),
               lambda i: (state, inputs + float(i)))
+  print(f'[{tag}] train phase wall: {time.time()-t0:.1f}s', file=sys.stderr)
   dt = (tn - t1) / (train_reps - 1)
   print(f'[{tag}] train step: {dt*1000:.1f} ms', file=sys.stderr)
   _emit(f'{tag}_train_step_ms', dt * 1000, 'ms/step')
@@ -176,25 +202,32 @@ def bench_quarterdeg():
   from gencast_tpu.models import casting
   from gencast_tpu.training import steps
 
+  _probe()
   t0 = time.time()
   model, statics = configs.build_gencast(configs.QUARTER_DEG,
                                          rngs=nnx.Rngs(0))
   model = casting.Bfloat16Cast(model)
   print(f'[qdeg] model build: {time.time()-t0:.1f}s', file=sys.stderr)
+  t0 = time.time()
   opt = steps.create_optimizer(model, steps.OptimizerConfig())
   step_fn, state = steps.functional_train_step(model, opt)
+  print(f'[qdeg] optimizer+state: {time.time()-t0:.1f}s', file=sys.stderr)
 
   d = model.predictor.denoiser
   nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
-  rng = np.random.default_rng(0)
+  t0 = time.time()
 
-  def arr(c):
-    return jnp.asarray(rng.standard_normal((1, nlat, nlon, c)),
-                       jnp.float32)
+  def arr(c, i):
+    # On-device generation: a numpy standard_normal + 770MB relay upload
+    # per array costs minutes at this scale.
+    return jax.random.normal(jax.random.PRNGKey(i), (1, nlat, nlon, c),
+                             jnp.float32)
 
-  inputs = arr(d.input_layout.num_channels)
-  targets = arr(d.target_layout.num_channels)
-  forcings = arr(d.forcing_layout.num_channels)
+  inputs = arr(d.input_layout.num_channels, 0)
+  targets = arr(d.target_layout.num_channels, 1)
+  forcings = arr(d.forcing_layout.num_channels, 2)
+  jax.block_until_ready(forcings)
+  print(f'[qdeg] inputs: {time.time()-t0:.1f}s', file=sys.stderr)
   key = jax.random.PRNGKey(0)
 
   t0 = time.time()
@@ -219,7 +252,7 @@ def _deadline_remaining(default: float = 1e9) -> float:
   return float(dl) - time.time() if dl else default
 
 
-def _run_section(name: str) -> None:
+def _dispatch(name: str) -> None:
   from gencast_tpu import configs
   if name == 'tiny':
     bench_model(configs.TINY, 'tiny', train_reps=3, fwd=True)
@@ -233,6 +266,30 @@ def _run_section(name: str) -> None:
     raise ValueError(f'unknown bench section {name!r}')
 
 
+def _run_sections(names: str) -> None:
+  """Child mode: run the comma-separated sections IN ONE PROCESS.
+
+  One process for all sections matters on this hardware: every fresh
+  process pays a 60-160s relay stall on its first device op (observed
+  repeatedly; apparently the relay tears down the previous client's
+  allocations before serving the next), so per-section subprocesses
+  burned 2-4 min of pure stall between sections. A section that no
+  longer fits the deadline is skipped with a note; a failing section
+  doesn't stop later ones.
+  """
+  for name in names.split(','):
+    rem = _deadline_remaining()
+    if rem < _EST_S.get(name, 120):
+      print(f'[bench] SKIP {name}: {rem:.0f}s to deadline, '
+            f'~{_EST_S.get(name, 120)}s needed '
+            f'(raise BENCH_BUDGET_S to include it)', file=sys.stderr)
+      continue
+    try:
+      _dispatch(name)
+    except Exception as e:  # noqa: BLE001 - land the other sections
+      print(f'[bench] section {name} failed: {e}', file=sys.stderr)
+
+
 def main():
   if os.environ.get('BENCH_CPU'):
     # Test-tier escape hatch: this machine's sitecustomize forces the
@@ -241,8 +298,8 @@ def main():
     import jax
     jax.config.update('jax_platforms', 'cpu')
   section = os.environ.get('BENCH_SECTION')
-  if section:  # child mode: run exactly one section, normal exit codes.
-    _run_section(section)
+  if section:  # child mode: run the listed sections, normal exit codes.
+    _run_sections(section)
     return
 
   budget = float(os.environ.get('BENCH_BUDGET_S', '480'))
@@ -252,31 +309,26 @@ def main():
     names = [n for n in names if n != 'onedeg']
   if os.environ.get('BENCH_SKIP_QDEG'):
     names = [n for n in names if n != 'qdeg']
+  if not names:
+    sys.exit(0)
 
-  def remaining():
-    return budget - (time.time() - _T0)
-
-  for i, name in enumerate(names):
-    rem = remaining()
-    if i > 0 and rem < _EST_S.get(name, 120):
-      print(f'[bench] SKIP {name}: {rem:.0f}s of budget left, '
-            f'~{_EST_S.get(name, 120)}s needed '
-            f'(raise BENCH_BUDGET_S to include it)', file=sys.stderr)
-      continue
-    deadline = max(20.0, rem - 10.0)
-    env = dict(os.environ, BENCH_SECTION=name,
-               BENCH_DEADLINE=str(time.time() + deadline))
-    try:
-      proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                            env=env, timeout=deadline)
-      if proc.returncode != 0:
-        print(f'[bench] section {name} exited rc={proc.returncode}; '
-              f'moving on', file=sys.stderr)
-    except subprocess.TimeoutExpired:
-      print(f'[bench] section {name} hit its {deadline:.0f}s deadline; '
-            f'killed, moving on', file=sys.stderr)
-    except Exception as e:  # noqa: BLE001 - never fail the driver run
-      print(f'[bench] section {name} failed: {e}', file=sys.stderr)
+  # ONE child process for all sections (see _run_sections for why), with
+  # a hard parent-side kill at the budget: a hung relay call cannot be
+  # interrupted in-process, and already-printed metrics survive the kill.
+  deadline = max(20.0, budget - (time.time() - _T0) - 10.0)
+  env = dict(os.environ, BENCH_SECTION=','.join(names),
+             BENCH_DEADLINE=str(time.time() + deadline))
+  try:
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env, timeout=deadline)
+    if proc.returncode != 0:
+      print(f'[bench] child exited rc={proc.returncode}', file=sys.stderr)
+  except subprocess.TimeoutExpired:
+    print(f'[bench] child hit the {deadline:.0f}s deadline; killed '
+          f'(metrics printed before the kill still count)',
+          file=sys.stderr)
+  except Exception as e:  # noqa: BLE001 - never fail the driver run
+    print(f'[bench] run failed: {e}', file=sys.stderr)
   sys.exit(0)
 
 
