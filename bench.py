@@ -133,7 +133,8 @@ def bench_model(spec, tag, train_reps, fwd=False):
       @jax.jit
       def loop(x):
         def body(c, _):
-          return m(inputs, c, sigma, forcings), ()
+          # f32 carry regardless of model compute dtype (bf16 presets).
+          return m(inputs, c, sigma, forcings).astype(jnp.float32), ()
         c, _ = jax.lax.scan(body, x, None, length=reps)
         return c.sum()
       return loop

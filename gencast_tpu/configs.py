@@ -84,10 +84,15 @@ TINY = ModelSpec(
 # kernel beats the XLA einsum triblock 18.6 vs 24.7 ms/train-step here (it
 # removes the profiled probs-shaped softmax-bwd HBM round-trips); the
 # einsum path remains selectable as the CPU/numerics oracle.
+# bf16 by default like the larger presets: with the fused tri-block
+# kernel the combination (never measured in round 2, which A/B'd bf16
+# only against the XLA triblock) wins 13% on the train step (16.6 vs
+# 19.0 ms) and ~9% on the denoiser forward (3.12 vs 3.40 ms, same
+# session) on a v5e. --no-bf16 / cast_bf16=False restores f32.
 NANO = ModelSpec(
     name='nano', task=registry.GENCAST_TASK, resolution_deg=2.5,
     mesh_splits=4, d_model=256, num_layers=16, num_heads=4,
-    attention_k_hop=8, attention_type='triblock_pallas')
+    attention_k_hop=8, attention_type='triblock_pallas', cast_bf16=True)
 
 # GenCast 1deg (README.md:168-175: splits=5, 1-degree, full variable set).
 # bf16 compute with f32 master weights is the default: it is the dtype
