@@ -113,6 +113,64 @@ def functional_train_step(model: nnx.Module, optimizer: nnx.Optimizer):
   return step_fn, state
 
 
+def scanned_train_steps(model: nnx.Module, optimizer: nnx.Optimizer):
+  """Fused multi-step training: one dispatch runs K steps on-device.
+
+  A host-driven loop pays the dispatch overhead every step (through the
+  axon TPU relay that is ~0.5-1s per call — at nano's 16.8 ms step the
+  chip would idle >95%); on real pods it still pays host jitter and
+  per-call launch latency. This fuses K train steps into one jitted
+  lax.scan over a device-resident sample pool, with the carried
+  (params, opt) state donated like functional_train_step (reference
+  role: the train loop of training/train.py:324-329, which has no
+  equivalent — torch cannot fuse optimizer steps across iterations).
+
+  Returns (fused_fn, state):
+    fused_fn(state, pool, idx, base_key, steps) -> (state, losses[K])
+  where pool is a dict of [M, B, lat, lon, C] device arrays
+  ('inputs'/'targets'/'forcings'), idx int32[K] pool rows for each step,
+  and steps int32[K] global step numbers (the per-step PRNG key is
+  fold_in(base_key, step), matching the per-step CLI loop exactly).
+  One compile per distinct K. Thread the returned state through calls
+  and nnx.update((model, optimizer), state) to sync back.
+
+  The scan carries the FULL state including StaticData buffers (an
+  nnx.split filter cannot run inside the scan body — flax refuses to
+  extract jit-level StaticData tracers at scan trace level); they pass
+  through unchanged, which XLA threads without copies (verified: the
+  same pattern in bench.py reproduces the single-step time exactly).
+  The state is NOT donated: donating would invalidate the StaticData
+  buffers other model instances share via the host-side graph caches.
+  """
+  graphdef, state = nnx.split((model, optimizer))
+
+  @jax.jit
+  def _fused(state, inputs, targets, forcings, idx, base_key, steps):
+    def body(carry, xs):
+      i, step = xs
+      m, opt = nnx.merge(graphdef, carry)
+      k = jax.random.fold_in(base_key, step)
+
+      def loss_fn(mm):
+        loss, _ = mm.loss(inputs[i], targets[i], forcings[i], k)
+        return loss.mean()
+
+      loss, grads = nnx.value_and_grad(loss_fn)(m)
+      opt.update(m, grads)
+      _, new_state = nnx.split((m, opt))
+      return new_state, loss
+
+    state, losses = jax.lax.scan(body, state, (idx, steps))
+    return state, losses
+
+  def fused_fn(state, pool, idx, base_key, steps):
+    return _fused(state, pool['inputs'], pool['targets'],
+                  pool['forcings'], jnp.asarray(idx, jnp.int32), base_key,
+                  jnp.asarray(steps, jnp.int32))
+
+  return fused_fn, state
+
+
 @nnx.jit
 def eval_step(model: nnx.Module, inputs: jnp.ndarray, targets: jnp.ndarray,
               forcings: jnp.ndarray, key: jax.Array

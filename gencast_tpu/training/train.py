@@ -58,6 +58,13 @@ def parse_args(argv=None):
   p.add_argument('--functional_step', action='store_true', default=None,
                  help='donated-state training step (no second params/opt '
                       'copy across the step; default: on for 0.25deg)')
+  p.add_argument('--steps_per_call', type=int, default=1,
+                 help='fuse K train steps into one on-device lax.scan '
+                      'over a device-resident sample pool (amortizes '
+                      'per-step dispatch overhead; gencast, batch_size=1, '
+                      'single-host only)')
+  p.add_argument('--pool_size', type=int, default=64,
+                 help='max samples resident on device in fused mode')
   p.add_argument('--clean_sst_nans', action='store_true')
   # Checkpointing / eval / logging.
   p.add_argument('--ckpt_dir', default=None)
@@ -95,6 +102,79 @@ def build_spec(args):
     if v is not None:
       overrides[field] = v
   return dataclasses.replace(spec, **overrides) if overrides else spec
+
+
+def _run_fused(args, source, wrapped, optimizer, manager, sink, start_step):
+  """Fused training loop: K steps per dispatch via scanned_train_steps.
+
+  Epoch shuffling matches the per-step loop's batch_iterator in spirit
+  (a host-side permutation stream selects pool rows per step); the
+  per-step PRNG keys are bit-identical to the per-step loop
+  (fold_in(key, step) inside the scan body).
+  """
+  import flax.nnx as nnx
+  import jax
+  import jax.numpy as jnp
+
+  from gencast_tpu.training import checkpoint as ckpt_lib
+  from gencast_tpu.training import steps as steps_lib
+
+  k_call = args.steps_per_call
+  m_pool = min(len(source), args.pool_size)
+  samples = [source.sample(i) for i in range(m_pool)]
+  pool = {
+      'inputs': jnp.stack([jnp.asarray(w.inputs)[None] for w in samples]),
+      'targets': jnp.stack([jnp.asarray(w.targets)[None] for w in samples]),
+      'forcings': jnp.stack(
+          [jnp.asarray(w.forcings)[None] for w in samples]),
+  }
+  del samples
+  fused_fn, fstate = steps_lib.scanned_train_steps(wrapped, optimizer)
+  print(f'[train] fused mode: {k_call} steps/call, '
+        f'device pool of {m_pool} samples')
+
+  rng = np.random.default_rng(args.seed)
+  perm: list = []
+  key = jax.random.PRNGKey(args.seed)
+  losses_acc = []
+  steps_acc = 0
+  t_log = time.time()
+  step = start_step
+
+  def crossed(every, lo, hi):
+    return (hi // every) != (lo // every)
+
+  while step < args.steps:
+    k = min(k_call, args.steps - step)
+    while len(perm) < k:
+      perm.extend(rng.permutation(m_pool).tolist())
+    idx, perm = perm[:k], perm[k:]
+    fstate, losses = fused_fn(fstate, pool, np.asarray(idx),
+                              key, np.arange(step, step + k))
+    losses_acc.append(losses)
+    steps_acc += k
+    prev, step = step, step + k
+
+    if crossed(args.log_every, prev, step):
+      jax.block_until_ready(losses)
+      dt = time.time() - t_log
+      mean_loss = float(jnp.concatenate(losses_acc).mean())
+      print(f'[train] step {step}/{args.steps} loss={mean_loss:.4f} '
+            f'{steps_acc / dt:.2f} steps/s')
+      sink.log('train', step, loss=mean_loss, steps_per_sec=steps_acc / dt)
+      losses_acc, steps_acc, t_log = [], 0, time.time()
+
+    if manager is not None and crossed(args.save_every, prev, step):
+      nnx.update((wrapped, optimizer), fstate)
+      ckpt_lib.save(manager, step - 1, wrapped, optimizer)
+
+  nnx.update((wrapped, optimizer), fstate)
+  if manager is not None:
+    ckpt_lib.save(manager, args.steps - 1, wrapped, optimizer)
+    manager.wait_until_finished()
+    print(f'[train] final checkpoint at {args.ckpt_dir}')
+  sink.close()
+  print('[train] done')
 
 
 def main(argv=None):
@@ -199,6 +279,19 @@ def main(argv=None):
 
   it = sources.batch_iterator(source, args.batch_size, seed=args.seed)
   key = jax.random.PRNGKey(args.seed)
+
+  # Fused multi-step training: one dispatch per K steps (see
+  # steps_lib.scanned_train_steps). The host loop's per-step dispatch
+  # overhead would otherwise dominate small models.
+  fused = (args.steps_per_call > 1 and args.model == 'gencast'
+           and args.ar_steps <= 1 and mesh is None
+           and args.batch_size == 1)
+  if args.steps_per_call > 1 and not fused:
+    print('[train] fused steps_per_call requires gencast, batch_size=1, '
+          'ar_steps=1, no mesh; falling back to per-step dispatch')
+  if fused:
+    _run_fused(args, source, wrapped, optimizer, manager, sink, start_step)
+    return
 
   # Donated-state step for memory-bound specs (ModelSpec.use_donated_step;
   # on for the 0.25deg preset).

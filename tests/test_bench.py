@@ -25,6 +25,8 @@ def test_bench_budget_guard_and_json_contract():
     m = json.loads(line)
     assert {'metric', 'value', 'unit', 'vs_baseline'} <= set(m)
     assert isinstance(m['value'], (int, float)) and m['value'] > 0
-  # The big sections cannot fit the remaining budget on CPU -> graceful
-  # skip messages, not a timeout.
-  assert 'SKIP' in r.stderr, r.stderr
+  # The big sections cannot fit the remaining budget on CPU: either the
+  # child skipped them with a note, or (when the tiny section itself ran
+  # up to the wire, e.g. cold CPU compiles) the parent's deadline kill
+  # fired — both are the graceful driver contract, never a timeout rc.
+  assert 'SKIP' in r.stderr or 'deadline' in r.stderr, r.stderr
