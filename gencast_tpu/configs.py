@@ -57,6 +57,15 @@ class ModelSpec:
   # Scatter-free GNN aggregation plans (DenoiserConfig.use_agg_plans):
   # profiled win at 1 degree+; pointless at nano edge counts.
   use_agg_plans: bool = False
+  # Tile size for the block-sparse flash attention plan (pallas backend
+  # only). Swept on the real chip at the 1-degree mesh (bf16, per layer):
+  # 512 -> 1.72/3.05 ms fwd / fwd+bwd, 768 -> 1.37/2.68, 1024 -> 1.43/2.91,
+  # 2048 -> 2.32/4.76. 768 keeps hpb=4 head folding within the VMEM
+  # budget while a third fewer grid steps amortize the fixed per-step
+  # cost, at only ~10% masked-pair waste — the ONE_DEG preset uses it.
+  # The default stays 512: the 0.25-degree mask has a different band
+  # structure and its 512-tile plan/step time are the validated recipe.
+  attention_tile_size: int = 512
   # Whole-GNN remat for the encoder/decoder (DenoiserConfig.remat_gnns);
   # required for the 0.25-degree single-chip training step.
   remat_gnns: bool = False
@@ -107,7 +116,7 @@ ONE_DEG = ModelSpec(
     mesh_splits=5, d_model=512, num_layers=16, num_heads=4,
     attention_k_hop=16, attention_type='pallas',
     stochastic_churn_rate=2.5, remat_policy='save_attention',
-    use_agg_plans=True, cast_bf16=True)
+    use_agg_plans=True, cast_bf16=True, attention_tile_size=768)
 
 # Paper-scale 0.25-degree splits=6 (README.md:157-166).
 QUARTER_DEG = ModelSpec(
@@ -140,7 +149,8 @@ def build_statics(spec: ModelSpec,
       radius_query_fraction_edge_length=(
           spec.radius_query_fraction_edge_length),
       attention_k_hop=spec.attention_k_hop,
-      attention_tile_size=512 if spec.attention_type == 'pallas' else 0,
+      attention_tile_size=(spec.attention_tile_size
+                           if spec.attention_type == 'pallas' else 0),
       build_triblock_mask=spec.attention_type != 'pallas'
       or spec.mesh_splits < 6,
       cache_dir=cache_dir)
