@@ -112,3 +112,21 @@ def test_mask_matches_dense_khop(statics):
       padded[b*bs:(b+1)*bs, (b+1)*bs:(b+2)*bs] = mask.blocks[1, b]
       padded[(b+1)*bs:(b+2)*bs, b*bs:(b+1)*bs] = mask.blocks[2, b + 1]
   np.testing.assert_array_equal(padded[:n, :n], reach)
+
+
+def test_spec_attention_tile_size_reaches_plan():
+  """ModelSpec.attention_tile_size drives the built tile plan (and is only
+  honored for the 'pallas' backend, which is the only consumer)."""
+  import dataclasses
+
+  from gencast_tpu import configs
+
+  spec = dataclasses.replace(configs.TINY, attention_type='pallas',
+                             attention_tile_size=32)
+  statics = configs.build_statics(spec, cache_dir=None)
+  assert statics.attention_tile_plan is not None
+  assert statics.attention_tile_plan.tile == 32
+
+  tri = dataclasses.replace(configs.TINY, attention_tile_size=32)
+  statics_tri = configs.build_statics(tri, cache_dir=None)
+  assert statics_tri.attention_tile_plan is None
