@@ -58,13 +58,16 @@ class ModelSpec:
   # profiled win at 1 degree+; pointless at nano edge counts.
   use_agg_plans: bool = False
   # Tile size for the block-sparse flash attention plan (pallas backend
-  # only). Swept on the real chip at the 1-degree mesh (bf16, per layer):
-  # 512 -> 1.72/3.05 ms fwd / fwd+bwd, 768 -> 1.37/2.68, 1024 -> 1.43/2.91,
-  # 2048 -> 2.32/4.76. 768 keeps hpb=4 head folding within the VMEM
-  # budget while a third fewer grid steps amortize the fixed per-step
-  # cost, at only ~10% masked-pair waste — the ONE_DEG preset uses it.
-  # The default stays 512: the 0.25-degree mask has a different band
-  # structure and its 512-tile plan/step time are the validated recipe.
+  # only). Swept on the real chip per mask (tools/sweep_attention_tiles.py,
+  # bf16, ms/layer fwd / fwd+bwd):
+  #   1-degree:    512 -> 1.72/3.05, 768 -> 1.37/2.68, 1024 -> 1.43/2.91,
+  #                2048 -> 2.32/4.76
+  #   0.25-degree: 512 -> 13.10/22.59, 768 -> 8.87/17.41,
+  #                1024 -> 9.41/20.25 (hpb drops to 2)
+  # 768 wins both: it keeps hpb=4 head folding within the VMEM budget
+  # while a third fewer grid steps amortize the fixed per-step cost.
+  # Both production presets ship 768; the default stays 512 (the safe
+  # all-rounder for user-built masks with unknown band structure).
   attention_tile_size: int = 512
   # Whole-GNN remat for the encoder/decoder (DenoiserConfig.remat_gnns);
   # required for the 0.25-degree single-chip training step.
@@ -128,6 +131,7 @@ QUARTER_DEG = ModelSpec(
     noise_basis_dtype='bfloat16',
     remat_gnns=True,
     cast_bf16=True,
+    attention_tile_size=768,
     use_donated_step=True)
 
 SPECS = {s.name: s for s in (TINY, NANO, ONE_DEG, QUARTER_DEG)}
