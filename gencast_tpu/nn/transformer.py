@@ -33,7 +33,7 @@ from jax.sharding import PartitionSpec as P
 
 from gencast_tpu.graph.compiler import BandedMask
 from gencast_tpu.nn import precision
-from gencast_tpu.nn.mlp import FiLM
+from gencast_tpu.nn.mlp import FiLM, apply_ln_film
 from gencast_tpu.nn.variables import StaticData
 
 
@@ -280,12 +280,16 @@ class TransformerBlock(nnx.Module):
 
   def attn_half(self, x: jnp.ndarray, cond: jnp.ndarray,
                 attn_args) -> jnp.ndarray:
-    c = cond[:, None, :]
-    return x + self.attn(self.film1(self.ln1(x), c), attn_args)
+    h = apply_ln_film(x, self.film1, cond)
+    if h is None:
+      h = self.film1(self.ln1(x), cond[:, None, :])
+    return x + self.attn(h, attn_args)
 
   def ffw_half(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
-    c = cond[:, None, :]
-    return x + self.ffw(self.film2(self.ln2(x), c))
+    h = apply_ln_film(x, self.film2, cond)
+    if h is None:
+      h = self.film2(self.ln2(x), cond[:, None, :])
+    return x + self.ffw(h)
 
   def __call__(self, x: jnp.ndarray, cond: jnp.ndarray,
                attn_args) -> jnp.ndarray:
@@ -429,5 +433,7 @@ class MeshTransformer(nnx.Module):
         else:
           x = block(x, cond, attn_args)
 
-    x = self.final_film(self.final_ln(x), cond[:, None, :])
-    return jnp.transpose(x[:, :n], (1, 0, 2))
+    h = apply_ln_film(x, self.final_film, cond)
+    if h is None:
+      h = self.final_film(self.final_ln(x), cond[:, None, :])
+    return jnp.transpose(h[:, :n], (1, 0, 2))
