@@ -122,6 +122,11 @@ ONE_DEG = ModelSpec(
     use_agg_plans=True, cast_bf16=True, attention_tile_size=768)
 
 # Paper-scale 0.25-degree splits=6 (README.md:157-166).
+# remat_policy='save_attention' keeps the Pallas attention kernel's
+# fused-VJP residuals (~2.7GB bf16 across the 16-layer scan) instead of
+# re-running the 8.9ms/layer attention forward in the backward: paired
+# real-chip A/B 2026-08-18 (tools/ab_qdeg.py), 2.926 -> 2.837 s/step,
+# four clean steps with the bf16 + donated-state memory plan.
 QUARTER_DEG = ModelSpec(
     name='0.25deg', task=registry.GENCAST_TASK_FULL, resolution_deg=0.25,
     mesh_splits=6, d_model=512, num_layers=16, num_heads=4,
@@ -129,6 +134,7 @@ QUARTER_DEG = ModelSpec(
     stochastic_churn_rate=2.5,
     edge_chunk_size=128 * 1024,
     noise_basis_dtype='bfloat16',
+    remat_policy='save_attention',
     remat_gnns=True,
     cast_bf16=True,
     attention_tile_size=768,

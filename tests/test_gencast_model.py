@@ -277,6 +277,7 @@ def test_quarter_deg_spec_memory_plan():
   assert spec.remat_gnns                      # whole-GNN remat
   assert spec.noise_basis_dtype == 'bfloat16'  # 750MB Legendre table
   assert spec.use_gradient_checkpointing      # transformer remat
+  assert spec.remat_policy == 'save_attention'  # keep attention residuals
   assert spec.attention_type == 'pallas'      # no dense triblock at splits=6
 
 
