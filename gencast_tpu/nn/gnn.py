@@ -269,6 +269,16 @@ class TypedGraphNet(nnx.Module):
     # exceed single-chip HBM). Trades recompute/loop overhead for memory.
     self.edge_chunk_size = edge_chunk_size
     self.stream_indices = nnx.Dict()
+    # name -> (per-topology chunk size, uniform receiver degree or None).
+    # Uniform-degree receiver-sorted edge sets (mesh2grid: exactly 3
+    # senders per grid node) get a degree-aligned chunk so every chunk
+    # holds whole receivers: aggregation becomes a dense reshape-sum
+    # emitted through the scan, and the receiver gather a contiguous
+    # row broadcast — no scatter anywhere. Profiled at 0.25 degrees the
+    # generic path's scatter complex (forward aggregation + remat replay
+    # + receiver-gather transpose, each ~175ms into the [1.04M, 512]
+    # accumulator at ~145GB/s) was ~18% of the whole train step.
+    self.stream_meta = {}
     if edge_chunk_size is not None:
       if num_message_passing_steps != 1 or num_processor_repetitions != 1:
         raise ValueError('edge_chunk_size requires a single-step graph net')
@@ -277,18 +287,23 @@ class TypedGraphNet(nnx.Module):
       # (fatal for remote-compile payload limits at paper scale).
       for topo in topologies:
         e = topo.num_edges
-        n_chunks = -(-e // edge_chunk_size)
-        pad = n_chunks * edge_chunk_size - e
+        k_uni = segment._uniform_degree(topo.receivers,
+                                        num_nodes[topo.receiver_set])
+        chunk = edge_chunk_size
+        if k_uni is not None and chunk >= k_uni:
+          chunk -= chunk % k_uni
+        else:
+          k_uni = None
+        self.stream_meta[topo.name] = (chunk, k_uni)
+        n_chunks = -(-e // chunk)
+        pad = n_chunks * chunk - e
         send_p = np.pad(topo.senders, (0, pad)).astype(np.int32)
         recv_p = np.pad(topo.receivers, (0, pad)).astype(np.int32)
         valid = np.pad(np.ones(e, np.float32), (0, pad))
         self.stream_indices[topo.name] = nnx.List([
-            StaticData(jnp.asarray(
-                send_p.reshape(n_chunks, edge_chunk_size))),
-            StaticData(jnp.asarray(
-                recv_p.reshape(n_chunks, edge_chunk_size))),
-            StaticData(jnp.asarray(
-                valid.reshape(n_chunks, edge_chunk_size))),
+            StaticData(jnp.asarray(send_p.reshape(n_chunks, chunk))),
+            StaticData(jnp.asarray(recv_p.reshape(n_chunks, chunk))),
+            StaticData(jnp.asarray(valid.reshape(n_chunks, chunk))),
         ])
     self.f32_aggregation = f32_aggregation
     self.aggregate_normalization = aggregate_normalization
@@ -395,38 +410,95 @@ class TypedGraphNet(nnx.Module):
     for topo in self.topologies:
       raw_e = edges[topo.name]
       e, b = raw_e.shape[0], raw_e.shape[1]
-      n_chunks = -(-e // chunk)
-      pad = n_chunks * chunk - e
+      e_chunk, k_uni = self.stream_meta[topo.name]
+      n_chunks = -(-e // e_chunk)
+      pad = n_chunks * e_chunk - e
       raw_p = jnp.pad(raw_e, ((0, pad), (0, 0), (0, 0)))
       send_c, recv_c, valid_c = (v[...]
                                  for v in self.stream_indices[topo.name])
 
-      latent = self.edge_latent_size[topo.name]
       acc_dtype = jnp.float32 if self.f32_aggregation else raw_e.dtype
-      acc0 = jnp.zeros((self.num_nodes[topo.receiver_set], b, latent),
-                       acc_dtype)
       sender_lat = node_lat[topo.sender_set]
       receiver_lat = node_lat[topo.receiver_set]
       embed = (self.edge_embedders[topo.name]
                if topo.name in self._embedded_edge_keys else None)
       edge_mlp = processor.edge_mlps[topo.name]
 
-      def body(acc, xs, embed=embed, edge_mlp=edge_mlp,
-               sender_lat=sender_lat, receiver_lat=receiver_lat):
-        raw_c, s_idx, r_idx, v_c = xs
-        e_lat = embed(raw_c, cond) if embed is not None else raw_c
-        concat = jnp.concatenate(
-            [e_lat, sender_lat[s_idx], receiver_lat[r_idx]], axis=-1)
-        msg = edge_mlp(concat, cond) * v_c[:, None, None]
-        return acc.at[r_idx].add(msg.astype(acc.dtype)), ()
+      # Remat the chunk bodies below: without it AD stacks each chunk's
+      # MLP residuals ([n_chunks, chunk, ~3*latent]) — the full edge
+      # tensor the streaming path exists to avoid. Scan-invariant node
+      # latents are saved once, not per chunk.
+      if k_uni is not None:
+        # Uniform receiver degree (mesh2grid's 3 senders per grid node):
+        # chunks hold whole receivers, so each chunk CONTRIBUTES a dense
+        # [rows, B, latent] reshape-sum emitted through the scan — no
+        # accumulator carry, no scatter — and the receiver latents arrive
+        # as a contiguous row slice broadcast edge-wise (its AD transpose
+        # is a dense sum, not a scatter). Bitwise the same sums as the
+        # dense path's uniform-degree fast path.
+        rows = e_chunk // k_uni
+        num_recv = self.num_nodes[topo.receiver_set]
+        # Closure-capture the (lightly padded) receiver latents and
+        # dynamic-slice each chunk's contiguous rows inside the body —
+        # stacking the rows as a scan input would materialize a second
+        # full copy of the receiver latents ([1.04M, 512] ≈ 1 GB at
+        # 0.25 degrees, which tips the bf16+save_attention memory plan
+        # over the 16 GB chip). As a scan constant it is saved once and
+        # its AD transpose is a dense dynamic_update_slice accumulation,
+        # not a scatter.
+        recv_pad = jnp.pad(
+            receiver_lat,
+            ((0, n_chunks * rows - num_recv), (0, 0), (0, 0)))
 
-      xs = (raw_p.reshape(n_chunks, chunk, b, -1),
-            send_c, recv_c, valid_c.astype(raw_e.dtype))
-      # Remat the chunk body: without it AD stacks each chunk's MLP
-      # residuals ([n_chunks, chunk, ~3*latent]) — the full edge tensor
-      # the streaming path exists to avoid. Scan-invariant node latents
-      # are saved once, not per chunk.
-      acc, _ = jax.lax.scan(jax.checkpoint(body), acc0, xs)
+        norm = self.aggregate_normalization
+
+        def body_u(carry, xs, embed=embed, edge_mlp=edge_mlp,
+                   sender_lat=sender_lat, recv_pad=recv_pad,
+                   rows=rows, k_uni=k_uni, norm=norm):
+          raw_c, s_idx, v_c, start = xs
+          r_rows = jax.lax.dynamic_slice_in_dim(recv_pad, start, rows)
+          e_lat = embed(raw_c, cond) if embed is not None else raw_c
+          r_rep = jnp.broadcast_to(
+              r_rows[:, None], (rows, k_uni) + r_rows.shape[1:]).reshape(
+                  (rows * k_uni,) + r_rows.shape[1:])
+          concat = jnp.concatenate(
+              [e_lat, sender_lat[s_idx], r_rep], axis=-1)
+          msg = edge_mlp(concat, cond) * v_c[:, None, None]
+          part = msg.astype(acc_dtype).reshape(
+              (rows, k_uni) + msg.shape[1:]).sum(axis=1)
+          if norm is not None:
+            part = part / norm
+          # Each receiver's COMPLETE degree-k sum is intra-chunk, so the
+          # acc_dtype math finishes here: emit in the edge dtype. This
+          # matches the generic path's final astype (acc_dtype sums, one
+          # final cast) and keeps the stacked scan output small when
+          # f32_aggregation is on.
+          return carry, part.astype(raw_c.dtype)
+
+        xs = (raw_p.reshape(n_chunks, e_chunk, b, -1),
+              send_c, valid_c.astype(raw_e.dtype),
+              jnp.arange(n_chunks, dtype=jnp.int32) * rows)
+        _, parts = jax.lax.scan(jax.checkpoint(body_u), 0, xs)
+        agg[topo.name] = parts.reshape(
+            (n_chunks * rows,) + parts.shape[2:])[:num_recv]
+        continue
+      else:
+        latent = self.edge_latent_size[topo.name]
+        acc0 = jnp.zeros((self.num_nodes[topo.receiver_set], b, latent),
+                         acc_dtype)
+
+        def body(acc, xs, embed=embed, edge_mlp=edge_mlp,
+                 sender_lat=sender_lat, receiver_lat=receiver_lat):
+          raw_c, s_idx, r_idx, v_c = xs
+          e_lat = embed(raw_c, cond) if embed is not None else raw_c
+          concat = jnp.concatenate(
+              [e_lat, sender_lat[s_idx], receiver_lat[r_idx]], axis=-1)
+          msg = edge_mlp(concat, cond) * v_c[:, None, None]
+          return acc.at[r_idx].add(msg.astype(acc.dtype)), ()
+
+        xs = (raw_p.reshape(n_chunks, e_chunk, b, -1),
+              send_c, recv_c, valid_c.astype(raw_e.dtype))
+        acc, _ = jax.lax.scan(jax.checkpoint(body), acc0, xs)
       if self.aggregate_normalization is not None:
         acc = acc / self.aggregate_normalization
       agg[topo.name] = acc.astype(raw_e.dtype)
