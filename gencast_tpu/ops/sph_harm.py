@@ -21,11 +21,21 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Tables at or above this max_l are computed ON DEVICE (see
+# legendre_table_device): at the 0.25-degree scale (L=719) the numpy f64
+# table is 3GB of host compute plus a 747MB host->device transfer, which
+# through a remote TPU relay costs minutes of every model build; the
+# on-device scan recursion runs in seconds and never touches the host.
+# Smaller tables keep the f64 numpy path (it is the numerics oracle).
+# GENCAST_SH_DEVICE_TABLE=0/1 forces the choice.
+_DEVICE_TABLE_MIN_L = 256
 
 
 def legendre_table(x: np.ndarray, max_l: int) -> np.ndarray:
@@ -65,6 +75,96 @@ def legendre_table(x: np.ndarray, max_l: int) -> np.ndarray:
   return p
 
 
+@functools.partial(jax.jit, static_argnames=('max_l', 'dtype_name'))
+def _legendre_table_device_impl(x: jnp.ndarray, max_l: int,
+                                dtype_name: str) -> jnp.ndarray:
+  """On-device legendre_table: scaled f32 recursion under a lax.scan.
+
+  The plain f32 recursion cannot work here: the diagonal seed Q_mm ~ s^m
+  underflows f32 long before l climbs back to O(1) values (at the
+  0.25-degree scale s^m reaches 1e-39 by m=54 two rows from the pole while
+  Q_{300,54} is O(1)). Standard fix (SHTns/libsharp-style): recurse on
+  u_lm = Q_lm / s^m — the three-term l-recursion is invariant under the
+  substitution, and the seed u_mm = c_m is O(m^{1/4}) — with a per-(m,lat)
+  power-of-two exponent carried alongside and renormalized whenever |u|
+  leaves [2^-64, 2^64]. The s^m factor and the accumulated exponent are
+  applied in exponent space only at emission, so intermediate under/
+  overflow never touches the recursion. Each scan step emits its finished
+  output row, so the f32 working set stays at 3 rows regardless of L.
+
+  Accuracy vs the f64 oracle (max abs error / table max): 2.4e-4 at L=300,
+  1.5e-3 at L=719 — O(L^2 eps) f32 recursion drift, strictly below the
+  bf16 storage rounding (4e-3 relative) the 0.25-degree preset stores the
+  table at, and irrelevant to its only consumer (isotropic noise synthesis,
+  where it perturbs the noise covariance by ~(1.5e-3)^2).
+  """
+  lmax = max_l
+  x = x.astype(jnp.float32)
+  nx = x.shape[0]
+  s = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x))
+
+  # Scaled diagonal seeds c_m = Q_mm / s^m (cumprod of O(1) factors).
+  mf = jnp.arange(1, lmax + 1, dtype=jnp.float32)[:, None]
+  d0 = jnp.full((1, nx), 1.0 / np.sqrt(4.0 * np.pi), jnp.float32)
+  c = jnp.concatenate(
+      [d0, d0 * jnp.cumprod(
+          jnp.broadcast_to(-jnp.sqrt((2.0 * mf + 1.0) / (2.0 * mf)),
+                           (lmax, nx)), axis=0)], axis=0)
+
+  m_idx = jnp.arange(lmax + 1, dtype=jnp.float32)
+  # log2(s^m), with the m=0 column pinned to 0 (0 * log2(0) is nan).
+  pole = jnp.where(m_idx[:, None] > 0,
+                   m_idx[:, None] * jnp.log2(jnp.maximum(s, 1e-30))[None, :],
+                   0.0)
+  # sqrt(2) real-harmonic fold for m >= 1.
+  fold = jnp.where(m_idx > 0, np.sqrt(2.0), 1.0)[:, None]
+  out_dtype = jnp.dtype(dtype_name)
+
+  def emit(u, e):
+    # Q = u * 2^(e + m log2 s), applied as two half-exponent factors:
+    # exp2(arg) itself can be denormal (flushed to 0 under XLA even on
+    # CPU) while u * 2^arg is a perfectly normal number. exp2(arg/2) is
+    # normal whenever the final Q is representable, and the grouped
+    # products (u*f)*f only underflow where Q truly underflows.
+    f = jnp.exp2((e + pole) * 0.5)
+    return (u * f * f * fold).astype(out_dtype)
+
+  row0 = jnp.zeros((lmax + 1, nx), jnp.float32).at[0].set(d0[0])
+  e0 = jnp.zeros((lmax + 1, nx), jnp.float32)
+
+  def body(carry, l):
+    u1, u2, e = carry  # scaled rows l-1, l-2 and their shared exponent
+    lf = l.astype(jnp.float32)
+    # General three-term upward recursion; b vanishes at m = l-1 so the
+    # first off-diagonal needs no special case. m >= l is masked (the a
+    # coefficient is nan there; jnp.where selects it away).
+    a = jnp.sqrt((4.0 * lf * lf - 1.0) / (lf * lf - m_idx * m_idx))
+    b = jnp.sqrt(((lf - 1.0) ** 2 - m_idx * m_idx)
+                 / (4.0 * (lf - 1.0) ** 2 - 1.0))
+    u = a[:, None] * (x[None, :] * u1 - b[:, None] * u2)
+    u = jnp.where((m_idx < lf)[:, None], u, 0.0)
+    u = u.at[l].set(c[l])
+    # Joint renormalization of (u, u1) keeping |u| within [2^-64, 2^64];
+    # exact-zero columns (not yet activated) are left untouched.
+    mx = jnp.maximum(jnp.abs(u), jnp.abs(u1))
+    shift = jnp.where((mx > 0.0) & (mx < 2.0 ** -64), 128.0,
+                      jnp.where(mx > 2.0 ** 64, -128.0, 0.0))
+    # Two half-scale factors: exp2(-128) is denormal (flushed to zero by
+    # XLA), exp2(-64) is normal and the intermediate products stay normal.
+    half = jnp.exp2(shift * 0.5)
+    return (u * half * half, u1 * half * half, e - shift), emit(u, e)
+
+  _, rows = jax.lax.scan(body, (row0, jnp.zeros_like(row0), e0),
+                         jnp.arange(1, lmax + 1))
+  return jnp.concatenate([emit(row0, e0)[None], rows], axis=0)
+
+
+def legendre_table_device(x: np.ndarray, max_l: int, dtype) -> jnp.ndarray:
+  """legendre_table computed on the default device, returned at dtype."""
+  return _legendre_table_device_impl(jnp.asarray(x, jnp.float32), max_l,
+                                     jnp.dtype(dtype).name)
+
+
 @dataclasses.dataclass(frozen=True)
 class SphericalHarmonicBasis:
   """Precomputed synthesis operators for a fixed lat/lon grid.
@@ -91,13 +191,18 @@ def _basis_cached(lat_key: Tuple[float, ...], lon_key: Tuple[float, ...],
   lat = np.asarray(lat_key)
   lon = np.asarray(lon_key)
   x = np.sin(np.deg2rad(lat))
-  leg = legendre_table(x, max_l)
+  dtype = np.dtype(dtype_name)
+  on_device = int(os.environ.get(
+      'GENCAST_SH_DEVICE_TABLE', '1' if max_l >= _DEVICE_TABLE_MIN_L else '0'))
+  if on_device:
+    leg = legendre_table_device(x, max_l, dtype)
+  else:
+    leg = jnp.asarray(legendre_table(x, max_l).astype(dtype))
   phi = np.deg2rad(lon)
   m = np.arange(max_l + 1)[:, None]
   four = np.stack([np.cos(m * phi[None]), np.sin(m * phi[None])])
-  dtype = np.dtype(dtype_name)
   return SphericalHarmonicBasis(
-      legendre=jnp.asarray(leg.astype(dtype)),
+      legendre=leg,
       fourier=jnp.asarray(four.astype(dtype)),
       max_l=max_l)
 

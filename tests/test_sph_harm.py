@@ -102,3 +102,41 @@ def test_bf16_basis_matches_f32_basis():
   assert np.abs(n16 - n32).max() < 0.05
   assert np.corrcoef(n16.ravel(), n32.ravel())[0, 1] > 0.999
   assert abs(n16.var() - 1.0) < 0.05
+
+
+def test_device_table_matches_numpy_oracle():
+  """The on-device f32 scan recursion (used for the big 0.25-degree table,
+  where the numpy-f64 + host->device-upload path costs minutes through the
+  TPU relay) must agree with the f64 oracle to well below bf16 rounding."""
+  lat = np.linspace(-90.0, 90.0, 181)
+  x = np.sin(np.deg2rad(lat))
+  max_l = 300
+  ref = sph_harm.legendre_table(x, max_l)
+  dev = np.asarray(sph_harm.legendre_table_device(x, max_l, np.float32))
+  assert dev.shape == ref.shape
+  scale = np.abs(ref).max()
+  # O(L^2 eps) f32 recursion drift: measured 2.4e-4 of scale at L=300
+  # (1.5e-3 at the real L=719), below the bf16 storage rounding (4e-3
+  # relative) the 0.25-degree preset uses.
+  assert np.abs(dev - ref).max() <= 5e-4 * scale
+  # Zero structure above the diagonal is preserved exactly.
+  l_idx = np.arange(max_l + 1)
+  assert np.all(dev[l_idx[:, None] < l_idx[None, :]] == 0.0)
+
+
+def test_basis_for_grid_device_gate(monkeypatch):
+  """GENCAST_SH_DEVICE_TABLE forces the on-device path; the resulting
+  basis must match the numpy-path basis."""
+  sph_harm._basis_cached.cache_clear()
+  lat = np.linspace(-88.0, 88.0, 23)
+  lon = np.arange(0.0, 360.0, 15.0)
+  monkeypatch.setenv('GENCAST_SH_DEVICE_TABLE', '0')
+  b_np = sph_harm.basis_for_grid(lat, lon)
+  sph_harm._basis_cached.cache_clear()
+  monkeypatch.setenv('GENCAST_SH_DEVICE_TABLE', '1')
+  b_dev = sph_harm.basis_for_grid(lat, lon)
+  sph_harm._basis_cached.cache_clear()
+  np.testing.assert_allclose(np.asarray(b_dev.legendre),
+                             np.asarray(b_np.legendre), atol=1e-5)
+  np.testing.assert_array_equal(np.asarray(b_dev.fourier),
+                                np.asarray(b_np.fourier))

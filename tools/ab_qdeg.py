@@ -3,6 +3,7 @@
 Usage: python tools/ab_qdeg.py save_attention
        python tools/ab_qdeg.py agg_plans
        python tools/ab_qdeg.py baseline
+       python tools/ab_qdeg.py chunk64k|chunk192k|chunk256k|chunk512k
 
 One variant per process (the relay serializes concurrent TPU jobs and a
 fresh process isolates compile-cache effects). The step is seconds long,
@@ -38,6 +39,9 @@ def main():
     spec = dataclasses.replace(spec, remat_policy='save_attention')
   elif variant == 'agg_plans':
     spec = dataclasses.replace(spec, use_agg_plans=True)
+  elif variant.startswith('chunk') and variant.endswith('k'):
+    spec = dataclasses.replace(spec,
+                               edge_chunk_size=int(variant[5:-1]) * 1024)
   elif variant != 'baseline':
     raise SystemExit(f'unknown variant {variant}')
   print(f'[ab] variant={variant}', file=sys.stderr)
