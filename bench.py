@@ -46,11 +46,17 @@ import time
 REPS = 21
 _T0 = time.time()
 
-# Conservative per-section wall-clock estimates with warm disk caches
-# (graph pickles + persistent XLA cache), used only to decide whether a
-# section still fits the remaining budget. Calibrated on the real chip
-# 2026-08-17; cold-cache overruns are handled by the child deadline kill.
-_EST_S = {'tiny': 60, 'nano': 200, 'onedeg': 130, 'qdeg': 180}
+# Per-section wall-clock estimates with warm disk caches (graph pickles
+# + persistent XLA cache), used only to decide whether a section still
+# fits the remaining budget. Measured on the real chip 2026-08-18: nano
+# 45s, onedeg ~32s, qdeg ~137s section wall (of which ~98s is the relay
+# LOADING the cache-hit 0.25-deg executable — a hit, not a compile).
+# Deliberately NOT conservative: a too-high estimate skips sections that
+# would have fit (a 355s relay stall once left 70s, enough for onedeg's
+# real 32s but not its old 130s estimate), while an attempt that
+# overruns is bounded by the parent's deadline kill and still lands any
+# metrics emitted before it. Cold caches are likewise deadline-killed.
+_EST_S = {'tiny': 60, 'nano': 90, 'onedeg': 60, 'qdeg': 150}
 
 
 def _emit(metric, value, unit):
@@ -278,11 +284,18 @@ def _run_sections(names: str) -> None:
   longer fits the deadline is skipped with a note; a failing section
   doesn't stop later ones.
   """
-  for name in names.split(','):
+  parts = names.split(',')
+  for pos, name in enumerate(parts):
     rem = _deadline_remaining()
-    if rem < _EST_S.get(name, 120):
+    # A mid-list section that doesn't fit would eat later sections'
+    # budget, so it is skipped at the conservative estimate. The LAST
+    # section has nothing after it to protect: attempting is free (the
+    # parent's deadline kill bounds it, and metrics emit incrementally),
+    # so try it whenever a minimal warm-cache floor remains.
+    needed = _EST_S.get(name, 120) if pos + 1 < len(parts) else 60
+    if rem < needed:
       print(f'[bench] SKIP {name}: {rem:.0f}s to deadline, '
-            f'~{_EST_S.get(name, 120)}s needed '
+            f'~{needed}s needed '
             f'(raise BENCH_BUDGET_S to include it)', file=sys.stderr)
       continue
     try:
