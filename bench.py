@@ -25,15 +25,22 @@ Driver contract (this script is run unattended under an external
 timeout): all sections run in ONE child process (a fresh process pays a
 60-160s relay stall on its first device op, so per-section children
 wasted minutes) with a deadline derived from BENCH_BUDGET_S (default
-480 s of total wall clock); a section that would not fit the remaining
-budget is skipped with a note, a hang (e.g. a stuck TPU relay call,
-which no in-process guard can interrupt) is killed at the deadline, and
-the parent ALWAYS exits 0 with whatever metrics were emitted before.
+480 s of total wall clock); the section list is ordered by metric
+priority (train-step metrics before the sampler metrics, which rebuild
+their models in dedicated trailing sections), each section is attempted
+while a minimal time floor remains, a hang (e.g. a stuck TPU relay
+call, which no in-process guard can interrupt) is killed at the
+deadline, and the parent ALWAYS exits 0 with whatever metrics were
+emitted before. So when the relay has a slow day, what falls off the
+end is a sampler number, never the 0.25-degree train step (the round-2
+failure mode).
 Knobs:
   BENCH_BUDGET_S   total wall-clock budget, seconds (default 480)
-  BENCH_SECTIONS   comma list from {tiny,nano,onedeg,qdeg} (default
-                   'nano,onedeg,qdeg'; 'tiny' is the CPU-sized config
-                   the test tier uses to exercise this plumbing)
+  BENCH_SECTIONS   comma list from {tiny,nano,onedeg,qdeg,nano_sampler,
+                   onedeg_sampler}, ordered by priority (default
+                   'nano,onedeg,qdeg,nano_sampler,onedeg_sampler';
+                   'tiny' is the CPU-sized config the test tier uses to
+                   exercise this plumbing)
   BENCH_SKIP_1DEG / BENCH_SKIP_QDEG  legacy single-section skips
 """
 
@@ -46,17 +53,17 @@ import time
 REPS = 21
 _T0 = time.time()
 
-# Per-section wall-clock estimates with warm disk caches (graph pickles
-# + persistent XLA cache), used only to decide whether a section still
-# fits the remaining budget. Measured on the real chip 2026-08-18: nano
-# 45s, onedeg ~32s, qdeg ~137s section wall (of which ~98s is the relay
-# LOADING the cache-hit 0.25-deg executable — a hit, not a compile).
-# Deliberately NOT conservative: a too-high estimate skips sections that
-# would have fit (a 355s relay stall once left 70s, enough for onedeg's
-# real 32s but not its old 130s estimate), while an attempt that
-# overruns is bounded by the parent's deadline kill and still lands any
-# metrics emitted before it. Cold caches are likewise deadline-killed.
-_EST_S = {'tiny': 60, 'nano': 90, 'onedeg': 60, 'qdeg': 150}
+# Minimal remaining wall clock worth starting a section for. Sections
+# are ordered by metric priority, so there is nothing after a section
+# more important than the section itself: attempt whenever this floor
+# remains and let the parent's deadline kill bound an overrun (metrics
+# emit incrementally, so a killed section still lands whatever it
+# printed). Warm section walls measured on the real chip 2026-08-18:
+# nano ~45s, onedeg ~32s, qdeg ~92-137s (mostly the relay loading the
+# cache-hit 0.25-degree executable), samplers ~30-60s each — but
+# run-to-run relay variance is 2-3x, which is exactly why estimates
+# proved the wrong tool for skip decisions.
+_MIN_SECTION_S = 45
 
 
 def _emit(metric, value, unit):
@@ -100,7 +107,7 @@ def _timed(fn, make_args, iters=3):
   return min(times)
 
 
-def bench_model(spec, tag, train_reps, fwd=False):
+def bench_model(spec, tag, train_reps, fwd=False, sampler=True):
   import flax.nnx as nnx
   import jax
   import jax.numpy as jnp
@@ -184,7 +191,50 @@ def bench_model(spec, tag, train_reps, fwd=False):
   print(f'[{tag}] train step: {dt*1000:.1f} ms', file=sys.stderr)
   _emit(f'{tag}_train_step_ms', dt * 1000, 'ms/step')
 
+  if not sampler:
+    return
+
   # --- full sampler (one forecast step: 39 denoiser calls on-device) ---
+  graphdef_m, state_m = nnx.split(model)
+
+  @jax.jit
+  def sample(state, inputs, forcings, k):
+    mm = nnx.merge(graphdef_m, state)
+    return mm.sample(inputs, forcings, k).sum()
+
+  t = _timed(sample, lambda i: (state_m, inputs + float(i), forcings, key),
+             iters=2)
+  print(f'[{tag}] sampler: {t:.2f}s/forecast-step', file=sys.stderr)
+  _emit(f'{tag}_sampler_sec', t, 's/forecast-step')
+
+
+def bench_sampler(spec, tag):
+  """Sampler-only section: rebuilds the model (cheap with warm graph
+  pickles, 3-15s) so the sampler metrics can run AFTER all train-step
+  metrics in the priority order instead of inside bench_model."""
+  import flax.nnx as nnx
+  import jax
+  import jax.numpy as jnp
+
+  from gencast_tpu import configs
+
+  _probe()
+  t0 = time.time()
+  model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(0))
+  if spec.cast_bf16:
+    from gencast_tpu.models import casting
+    model = casting.Bfloat16Cast(model)
+  print(f'[{tag}] model build: {time.time()-t0:.1f}s', file=sys.stderr)
+  d = (model.predictor if hasattr(model, 'predictor') else model).denoiser
+  nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
+
+  def arr(c, i):
+    return jax.random.normal(jax.random.PRNGKey(i), (1, nlat, nlon, c),
+                             jnp.float32)
+
+  inputs = arr(d.input_layout.num_channels, 0)
+  forcings = arr(d.forcing_layout.num_channels, 2)
+  key = jax.random.PRNGKey(0)
   graphdef_m, state_m = nnx.split(model)
 
   @jax.jit
@@ -264,11 +314,16 @@ def _dispatch(name: str) -> None:
   if name == 'tiny':
     bench_model(configs.TINY, 'tiny', train_reps=3, fwd=True)
   elif name == 'nano':
-    bench_model(configs.NANO, 'nano', train_reps=REPS, fwd=True)
+    bench_model(configs.NANO, 'nano', train_reps=REPS, fwd=True,
+                sampler=False)
   elif name == 'onedeg':
-    bench_model(configs.ONE_DEG, 'onedeg', train_reps=9)
+    bench_model(configs.ONE_DEG, 'onedeg', train_reps=9, sampler=False)
   elif name == 'qdeg':
     bench_quarterdeg()
+  elif name == 'nano_sampler':
+    bench_sampler(configs.NANO, 'nano')
+  elif name == 'onedeg_sampler':
+    bench_sampler(configs.ONE_DEG, 'onedeg')
   else:
     raise ValueError(f'unknown bench section {name!r}')
 
@@ -284,24 +339,34 @@ def _run_sections(names: str) -> None:
   longer fits the deadline is skipped with a note; a failing section
   doesn't stop later ones.
   """
-  parts = names.split(',')
-  for pos, name in enumerate(parts):
+  for name in names.split(','):
     rem = _deadline_remaining()
-    # A mid-list section that doesn't fit would eat later sections'
-    # budget, so it is skipped at the conservative estimate. The LAST
-    # section has nothing after it to protect: attempting is free (the
-    # parent's deadline kill bounds it, and metrics emit incrementally),
-    # so try it whenever a minimal warm-cache floor remains.
-    needed = _EST_S.get(name, 120) if pos + 1 < len(parts) else 60
-    if rem < needed:
+    # Sections are ordered by metric priority: nothing later in the
+    # list outranks the section at hand, so there is no reason to skip
+    # it to protect them — attempt whenever a minimal floor remains and
+    # let the parent's deadline kill bound an overrun (metrics emit
+    # incrementally, so a killed section still lands what it printed).
+    if rem < _MIN_SECTION_S:
       print(f'[bench] SKIP {name}: {rem:.0f}s to deadline, '
-            f'~{needed}s needed '
+            f'~{_MIN_SECTION_S}s floor '
             f'(raise BENCH_BUDGET_S to include it)', file=sys.stderr)
       continue
     try:
       _dispatch(name)
     except Exception as e:  # noqa: BLE001 - land the other sections
       print(f'[bench] section {name} failed: {e}', file=sys.stderr)
+    finally:
+      # Drop this section's host references before the next one: jitted
+      # loops hold model/optimizer states in their closures and live on
+      # in jax's executable cache after the section returns. This is
+      # best-effort only — the relay does not reliably release the
+      # device HBM even after eviction (measured: the 0.25-degree step
+      # still OOM'd after nano+onedeg despite this), which is why that
+      # section gets its own child process (see main).
+      import gc
+      import jax
+      jax.clear_caches()
+      gc.collect()
 
 
 def main():
@@ -317,32 +382,59 @@ def main():
     return
 
   budget = float(os.environ.get('BENCH_BUDGET_S', '480'))
-  names = os.environ.get('BENCH_SECTIONS', 'nano,onedeg,qdeg').split(',')
+  names = os.environ.get(
+      'BENCH_SECTIONS',
+      'nano,onedeg,qdeg,nano_sampler,onedeg_sampler').split(',')
   names = [n.strip() for n in names if n.strip()]
   if os.environ.get('BENCH_SKIP_1DEG'):
-    names = [n for n in names if n != 'onedeg']
+    names = [n for n in names if not n.startswith('onedeg')]
   if os.environ.get('BENCH_SKIP_QDEG'):
     names = [n for n in names if n != 'qdeg']
   if not names:
     sys.exit(0)
 
-  # ONE child process for all sections (see _run_sections for why), with
-  # a hard parent-side kill at the budget: a hung relay call cannot be
-  # interrupted in-process, and already-printed metrics survive the kill.
-  deadline = max(20.0, budget - (time.time() - _T0) - 10.0)
-  env = dict(os.environ, BENCH_SECTION=','.join(names),
-             BENCH_DEADLINE=str(time.time() + deadline))
-  try:
-    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                          env=env, timeout=deadline)
-    if proc.returncode != 0:
-      print(f'[bench] child exited rc={proc.returncode}', file=sys.stderr)
-  except subprocess.TimeoutExpired:
-    print(f'[bench] child hit the {deadline:.0f}s deadline; killed '
-          f'(metrics printed before the kill still count)',
-          file=sys.stderr)
-  except Exception as e:  # noqa: BLE001 - never fail the driver run
-    print(f'[bench] run failed: {e}', file=sys.stderr)
+  # Sections run in as FEW child processes as possible (a fresh process
+  # pays a relay stall on its first device op, absorbed by _probe), with
+  # a hard parent-side kill at the shared budget deadline: a hung relay
+  # call cannot be interrupted in-process, and already-printed metrics
+  # survive the kill. The 0.25-degree section is the one exception that
+  # gets a child of its OWN: its train step needs nearly the whole 16GB
+  # chip, and buffers from earlier sections in the same process are not
+  # reliably released through the relay (jax.clear_caches + gc still
+  # OOM'd it; a fresh process reproducibly fits).
+  groups, cur = [], []
+  for n in names:
+    if n == 'qdeg':
+      if cur:
+        groups.append(cur)
+      groups.append([n])
+      cur = []
+    else:
+      cur.append(n)
+  if cur:
+    groups.append(cur)
+
+  hard_deadline = _T0 + budget - 10.0
+  for group in groups:
+    remaining = hard_deadline - time.time()
+    if remaining < 20.0:
+      print(f'[bench] SKIP group {group}: {remaining:.0f}s to deadline',
+            file=sys.stderr)
+      continue
+    env = dict(os.environ, BENCH_SECTION=','.join(group),
+               BENCH_DEADLINE=str(hard_deadline))
+    try:
+      proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                            env=env, timeout=remaining)
+      if proc.returncode != 0:
+        print(f'[bench] child {group} exited rc={proc.returncode}',
+              file=sys.stderr)
+    except subprocess.TimeoutExpired:
+      print(f'[bench] child {group} hit the deadline; killed '
+            f'(metrics printed before the kill still count)',
+            file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - never fail the driver run
+      print(f'[bench] child {group} failed: {e}', file=sys.stderr)
   sys.exit(0)
 
 
