@@ -12,6 +12,9 @@ Metrics:
   onedeg_sampler_sec           — 20-level DPM++2S at 1 degree
   quarterdeg_train_step_sec    — fwd+bwd+AdamW at 0.25 degrees (bf16,
                                  donated state; dispatch-path timing)
+  onedeg_rollout30_sec         — fused 30-step 1-member AR rollout at
+                                 1 degree (north-star proxy: the v5e-64
+                                 50-member target scales from this)
 
 Methodology: everything except the samplers is chained through an
 on-device lax.scan (output feeds the next call's input) and differenced
@@ -37,10 +40,11 @@ failure mode).
 Knobs:
   BENCH_BUDGET_S   total wall-clock budget, seconds (default 480)
   BENCH_SECTIONS   comma list from {tiny,nano,onedeg,qdeg,nano_sampler,
-                   onedeg_sampler}, ordered by priority (default
-                   'nano,onedeg,qdeg,nano_sampler,onedeg_sampler';
-                   'tiny' is the CPU-sized config the test tier uses to
-                   exercise this plumbing)
+                   onedeg_sampler,onedeg_rollout30,tiny_rollout30},
+                   ordered by priority (default 'nano,onedeg,qdeg,
+                   nano_sampler,onedeg_sampler,onedeg_rollout30';
+                   'tiny*' are the CPU-sized configs the test tier uses
+                   to exercise this plumbing)
   BENCH_SKIP_1DEG / BENCH_SKIP_QDEG  legacy single-section skips
 """
 
@@ -88,8 +92,8 @@ def _probe():
   print(f'[probe] relay warm in {time.time()-t_all:.1f}s', file=sys.stderr)
 
 
-def _timed(fn, make_args, iters=3):
-  """Min wall time of fn(*make_args(i)) with a scalar readback, post-warmup.
+def _timed_all(fn, make_args, iters=3):
+  """Wall times of fn(*make_args(i)) with a scalar readback, post-warmup.
 
   make_args must vary per i: identical repeated dispatches through the
   relay get elided and time near zero. Stops early when the section
@@ -104,7 +108,11 @@ def _timed(fn, make_args, iters=3):
     times.append(time.time() - t0)
     if _deadline_remaining() < 3 * times[-1]:
       break
-  return min(times)
+  return times
+
+
+def _timed(fn, make_args, iters=3):
+  return min(_timed_all(fn, make_args, iters))
 
 
 def bench_model(spec, tag, train_reps, fwd=False, sampler=True):
@@ -154,10 +162,18 @@ def bench_model(spec, tag, train_reps, fwd=False, sampler=True):
 
     t0 = time.time()
     t1 = _timed(loop_factory(1), lambda i: (targets + float(i),))
-    tn = _timed(loop_factory(REPS), lambda i: (targets + float(i),))
+    tns = _timed_all(loop_factory(REPS), lambda i: (targets + float(i),),
+                     iters=5)
     print(f'[{tag}] fwd phase wall: {time.time()-t0:.1f}s', file=sys.stderr)
-    dt = (tn - t1) / (REPS - 1)
-    print(f'[{tag}] denoiser fwd: {dt*1000:.2f} ms/step', file=sys.stderr)
+    dts = sorted((tn - t1) / (REPS - 1) for tn in tns)
+    dt = dts[0]
+    # Run-to-run relay variance has spanned 318-438 steps/s across
+    # sessions; log the within-session spread so a cross-round delta is
+    # attributable (VERDICT r3 weak #3).
+    print(f'[{tag}] denoiser fwd: {dt*1000:.2f} ms/step '
+          f'(best of {len(dts)} differenced scans; spread '
+          f'{dts[0]*1000:.2f}..{dts[-1]*1000:.2f} ms, '
+          f'median {dts[len(dts)//2]*1000:.2f})', file=sys.stderr)
     _emit(f'{tag}_denoiser_steps_per_sec', 1.0 / dt, 'steps/s/chip')
 
   # --- train step (fwd+bwd+AdamW, chained through optimizer state) ---
@@ -248,6 +264,55 @@ def bench_sampler(spec, tag):
   _emit(f'{tag}_sampler_sec', t, 's/forecast-step')
 
 
+def bench_rollout30(spec, tag, num_steps=30):
+  """Wall-clock of the fused num_steps-step, 1-member AR sampler rollout
+  (one jitted lax.scan over forecast steps, each a 39-call DPM++2S
+  sampler). This is the north-star proxy: the <2-min 50-member v5e-64
+  target (BASELINE.md) scales from this single-chip number over the
+  ensemble axis. Reference role: common/rollout.py:245-376 (python-loop
+  chunked rollout with per-step host round-trips)."""
+  import flax.nnx as nnx
+  import jax
+  import jax.numpy as jnp
+
+  from gencast_tpu import configs
+  from gencast_tpu import rollout as rollout_lib
+  from gencast_tpu.data import layout as layout_lib
+
+  _probe()
+  t0 = time.time()
+  model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(0))
+  if spec.cast_bf16:
+    from gencast_tpu.models import casting
+    model = casting.Bfloat16Cast(model)
+  print(f'[{tag}] model build: {time.time()-t0:.1f}s', file=sys.stderr)
+  d = (model.predictor if hasattr(model, 'predictor') else model).denoiser
+  nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
+
+  inputs = jax.random.normal(
+      jax.random.PRNGKey(0), (1, nlat, nlon, d.input_layout.num_channels),
+      jnp.float32)
+  frc = jax.random.normal(
+      jax.random.PRNGKey(1),
+      (num_steps, 1, nlat, nlon, d.forcing_layout.num_channels),
+      jnp.float32)
+  key = jax.random.PRNGKey(2)
+  maps = layout_lib.rollout_maps(d.input_layout, d.target_layout,
+                                 d.forcing_layout)
+  graphdef, state = nnx.split(model)
+
+  @jax.jit
+  def run(state, inputs, forcings, key):
+    m = nnx.merge(graphdef, state)
+    preds = rollout_lib.rollout(lambda x, f, k: m.sample(x, f, k),
+                                inputs, forcings, maps, key)
+    return preds.sum()
+
+  t = _timed(run, lambda i: (state, inputs + float(i), frc, key), iters=1)
+  print(f'[{tag}] rollout{num_steps}: {t:.1f}s', file=sys.stderr)
+  _emit(f'{tag}_rollout{num_steps}_sec', t, f's/{num_steps}-step-forecast')
+
+
 def bench_quarterdeg():
   """0.25-degree train step: bf16 + donated state (no scan chaining —
   the step itself is seconds long, far above relay dispatch noise)."""
@@ -324,6 +389,10 @@ def _dispatch(name: str) -> None:
     bench_sampler(configs.NANO, 'nano')
   elif name == 'onedeg_sampler':
     bench_sampler(configs.ONE_DEG, 'onedeg')
+  elif name == 'onedeg_rollout30':
+    bench_rollout30(configs.ONE_DEG, 'onedeg')
+  elif name == 'tiny_rollout30':
+    bench_rollout30(configs.TINY, 'tiny', num_steps=3)
   else:
     raise ValueError(f'unknown bench section {name!r}')
 
@@ -384,7 +453,8 @@ def main():
   budget = float(os.environ.get('BENCH_BUDGET_S', '480'))
   names = os.environ.get(
       'BENCH_SECTIONS',
-      'nano,onedeg,qdeg,nano_sampler,onedeg_sampler').split(',')
+      'nano,onedeg,qdeg,nano_sampler,onedeg_sampler,onedeg_rollout30'
+  ).split(',')
   names = [n.strip() for n in names if n.strip()]
   if os.environ.get('BENCH_SKIP_1DEG'):
     names = [n for n in names if not n.startswith('onedeg')]

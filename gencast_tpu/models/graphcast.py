@@ -87,7 +87,26 @@ class GraphCast(nnx.Module):
     self.g2m_edge_feats = StaticData(jnp.asarray(statics.grid2mesh.features))
     self.mm_edge_feats = StaticData(
         jnp.asarray(statics.multimesh_edges.features))
-    self.m2g_edge_feats = StaticData(jnp.asarray(statics.mesh2grid.features))
+    m2g_feats = statics.mesh2grid.features
+    if cfg.mesh2grid_edge_normalization_factor is not None:
+      # The reference threads this factor into the m2g spatial-feature
+      # normalization instead of the default max-edge-length
+      # (graphcast/graphcast.py:327-328,583 -> common/model_utils.py:485-494).
+      # GraphStatics stores max-length-normalized features, so recompute
+      # them host-side with the explicit factor (cheap: one numpy pass
+      # over ~3 edges per grid node).
+      import numpy as np
+      from gencast_tpu.graph import features as features_lib
+      grid_mesh_lon, grid_mesh_lat = np.meshgrid(statics.grid_lon,
+                                                 statics.grid_lat)
+      m2g_feats = features_lib.edge_features(
+          statics.mesh_lat, statics.mesh_lon, statics.mesh2grid.senders,
+          grid_mesh_lat.reshape(-1).astype(np.float32),
+          grid_mesh_lon.reshape(-1).astype(np.float32),
+          statics.mesh2grid.receivers,
+          normalization_factor=cfg.mesh2grid_edge_normalization_factor,
+      ).features
+    self.m2g_edge_feats = StaticData(jnp.asarray(m2g_feats))
 
     num_nodes = {'grid': statics.num_grid_nodes,
                  'mesh': statics.num_mesh_nodes}

@@ -28,13 +28,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Tables at or above this max_l are computed ON DEVICE (see
-# legendre_table_device): at the 0.25-degree scale (L=719) the numpy f64
-# table is 3GB of host compute plus a 747MB host->device transfer, which
-# through a remote TPU relay costs minutes of every model build; the
-# on-device scan recursion runs in seconds and never touches the host.
-# Smaller tables keep the f64 numpy path (it is the numerics oracle).
-# GENCAST_SH_DEVICE_TABLE=0/1 forces the choice.
+# Tables at or above this max_l AND stored at reduced precision (bf16)
+# are computed ON DEVICE (see legendre_table_device): at the 0.25-degree
+# scale (L=719) the numpy f64 table is 3GB of host compute plus a 747MB
+# host->device transfer, which through a remote TPU relay costs minutes
+# of every model build; the on-device scan recursion runs in seconds and
+# never touches the host. f32 bases keep the f64-exact numpy path at any
+# scale (the f32 recursion drifts ~1.5e-3 relative at L=719 — fine under
+# bf16 storage rounding, a silent downgrade for f32 callers).
+# GENCAST_SH_DEVICE_TABLE=0/1 forces the choice (resolved in
+# basis_for_grid so it is part of the basis cache key).
 _DEVICE_TABLE_MIN_L = 256
 
 
@@ -187,13 +190,12 @@ class SphericalHarmonicBasis:
 
 @functools.lru_cache(maxsize=8)
 def _basis_cached(lat_key: Tuple[float, ...], lon_key: Tuple[float, ...],
-                  max_l: int, dtype_name: str) -> SphericalHarmonicBasis:
+                  max_l: int, dtype_name: str,
+                  on_device: bool) -> SphericalHarmonicBasis:
   lat = np.asarray(lat_key)
   lon = np.asarray(lon_key)
   x = np.sin(np.deg2rad(lat))
   dtype = np.dtype(dtype_name)
-  on_device = int(os.environ.get(
-      'GENCAST_SH_DEVICE_TABLE', '1' if max_l >= _DEVICE_TABLE_MIN_L else '0'))
   if on_device:
     leg = legendre_table_device(x, max_l, dtype)
   else:
@@ -212,12 +214,28 @@ def basis_for_grid(lat_deg: Sequence[float], lon_deg: Sequence[float],
                    dtype=np.float32) -> SphericalHarmonicBasis:
   """Basis resolving wavenumbers up to max_l (default: num_lon//2 - 1,
   the maximum the grid resolves — matching the reference's choice
-  (gencast/samplers_utils.py:86, 336))."""
+  (gencast/samplers_utils.py:86, 336)).
+
+  The Legendre table is computed on device (scaled-f32 recursion, ~1.5e-3
+  relative drift at L=719 vs the f64-exact numpy path) only when BOTH the
+  scale warrants it (max_l >= 256, where the host table + relay upload
+  cost minutes) AND the storage dtype is reduced precision (bf16, whose
+  quantization already dominates the recursion drift). f32 bases keep the
+  f64-exact host table at any scale. GENCAST_SH_DEVICE_TABLE=0/1 forces
+  the choice; the flag is resolved here so it participates in the cache
+  key (toggling it mid-process yields the right table, not a stale one).
+  """
   lon = tuple(float(v) for v in lon_deg)
   lat = tuple(float(v) for v in lat_deg)
   if max_l is None:
     max_l = len(lon) // 2 - 1
-  return _basis_cached(lat, lon, max_l, np.dtype(dtype).name)
+  dt = np.dtype(dtype)
+  env = os.environ.get('GENCAST_SH_DEVICE_TABLE')
+  if env is not None:
+    on_device = bool(int(env))
+  else:
+    on_device = max_l >= _DEVICE_TABLE_MIN_L and dt.itemsize < 4
+  return _basis_cached(lat, lon, max_l, dt.name, on_device)
 
 
 def synthesize(coeffs: jnp.ndarray,

@@ -1,7 +1,14 @@
 """Driver-contract smoke for bench.py: it must emit metric JSON lines and
 exit 0 within a wall-clock budget, skipping sections that do not fit
 (round-2 regression: the driver's bench run timed out inside the 0.25-deg
-section and the whole artifact landed as rc=124 with no qdeg metric)."""
+section and the whole artifact landed as rc=124 with no qdeg metric).
+
+Two cheap runs instead of one expensive one (ADVICE r3: the old
+'tiny,nano,onedeg,qdeg' run burned the full 240s budget compiling nano/
+onedeg sections it then deadline-killed): a tiny-only run pins the JSON
+contract, and a near-zero-budget run pins the graceful-skip contract
+without compiling anything.
+"""
 
 import json
 import os
@@ -11,13 +18,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_budget_guard_and_json_contract():
+def _run(sections: str, budget: str, timeout: int):
   env = dict(os.environ)
-  env.update(BENCH_CPU='1', BENCH_SECTIONS='tiny,nano,onedeg,qdeg',
-             BENCH_BUDGET_S='240')
-  r = subprocess.run([sys.executable, os.path.join(REPO, 'bench.py')],
-                     capture_output=True, text=True, env=env, cwd=REPO,
-                     timeout=300)
+  env.update(BENCH_CPU='1', BENCH_SECTIONS=sections, BENCH_BUDGET_S=budget)
+  return subprocess.run([sys.executable, os.path.join(REPO, 'bench.py')],
+                        capture_output=True, text=True, env=env, cwd=REPO,
+                        timeout=timeout)
+
+
+def test_bench_json_contract():
+  r = _run('tiny', budget='240', timeout=300)
   assert r.returncode == 0, f'STDOUT:\n{r.stdout}\nSTDERR:\n{r.stderr}'
   lines = [l for l in r.stdout.splitlines() if l.startswith('{')]
   if 'deadline' not in r.stderr:
@@ -34,8 +44,12 @@ def test_bench_budget_guard_and_json_contract():
     m = json.loads(line)
     assert {'metric', 'value', 'unit', 'vs_baseline'} <= set(m)
     assert isinstance(m['value'], (int, float)) and m['value'] > 0
-  # The big sections cannot fit the remaining budget on CPU: either the
-  # child skipped them with a note, or (when the tiny section itself ran
-  # up to the wire, e.g. cold CPU compiles) the parent's deadline kill
-  # fired — both are the graceful driver contract, never a timeout rc.
-  assert 'SKIP' in r.stderr or 'deadline' in r.stderr, r.stderr
+
+
+def test_bench_budget_guard_skips_gracefully():
+  """A budget below the parent's 20s group floor must skip every section
+  up front (no model build, no compile) and still exit 0."""
+  r = _run('tiny,nano,onedeg,qdeg', budget='15', timeout=60)
+  assert r.returncode == 0, f'STDOUT:\n{r.stdout}\nSTDERR:\n{r.stderr}'
+  assert 'SKIP' in r.stderr, r.stderr
+  assert not [l for l in r.stdout.splitlines() if l.startswith('{')]

@@ -82,6 +82,40 @@ def test_forward_and_loss(setup):
              for g in jax.tree_util.tree_leaves(grads))
 
 
+def test_m2g_edge_normalization_factor(setup):
+  """The knob changes predictions (reference graphcast.py:327-328,583);
+  passing the compiler's own max-length factor reproduces the default."""
+  statics, model = setup
+  inputs, _, forcings = _data(statics, TINY_GC_TASK, batch=1)
+  base = model.predict(inputs, forcings)
+
+  scaled = gc.GraphCast(
+      TINY_GC_TASK, statics,
+      gc.GraphCastConfig(latent_size=32, gnn_msg_steps=3,
+                         mesh2grid_edge_normalization_factor=0.1),
+      rngs=nnx.Rngs(0))
+  out = scaled.predict(inputs, forcings)
+  assert float(jnp.abs(out - base).max()) > 1e-6
+
+  # Factor == the default max edge length -> identical static features.
+  # The stored features are already normalized by max length, so recover
+  # the raw max length by rebuilding with factor=1.
+  raw = gc.GraphCast(
+      TINY_GC_TASK, statics,
+      gc.GraphCastConfig(latent_size=32, gnn_msg_steps=3,
+                         mesh2grid_edge_normalization_factor=1.0),
+      rngs=nnx.Rngs(0))
+  raw_max = float(jnp.abs(raw.m2g_edge_feats[...][:, 0]).max())
+  same = gc.GraphCast(
+      TINY_GC_TASK, statics,
+      gc.GraphCastConfig(latent_size=32, gnn_msg_steps=3,
+                         mesh2grid_edge_normalization_factor=raw_max),
+      rngs=nnx.Rngs(0))
+  np.testing.assert_allclose(np.asarray(same.m2g_edge_feats[...]),
+                             np.asarray(model.m2g_edge_feats[...]),
+                             rtol=1e-5, atol=1e-7)
+
+
 def test_autoregressive_loss_gradients(setup):
   statics, model = setup
   stats = L.Stats.unit(set(TINY_GC_TASK.input_variables)

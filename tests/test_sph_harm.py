@@ -126,17 +126,35 @@ def test_device_table_matches_numpy_oracle():
 
 def test_basis_for_grid_device_gate(monkeypatch):
   """GENCAST_SH_DEVICE_TABLE forces the on-device path; the resulting
-  basis must match the numpy-path basis."""
-  sph_harm._basis_cached.cache_clear()
+  basis must match the numpy-path basis. The flag is part of the cache
+  key (resolved in basis_for_grid), so toggling it mid-process must
+  yield the other path's table WITHOUT any cache_clear."""
   lat = np.linspace(-88.0, 88.0, 23)
   lon = np.arange(0.0, 360.0, 15.0)
   monkeypatch.setenv('GENCAST_SH_DEVICE_TABLE', '0')
   b_np = sph_harm.basis_for_grid(lat, lon)
-  sph_harm._basis_cached.cache_clear()
   monkeypatch.setenv('GENCAST_SH_DEVICE_TABLE', '1')
   b_dev = sph_harm.basis_for_grid(lat, lon)
-  sph_harm._basis_cached.cache_clear()
+  assert b_dev is not b_np  # distinct cache entries, not a stale hit
   np.testing.assert_allclose(np.asarray(b_dev.legendre),
                              np.asarray(b_np.legendre), atol=1e-5)
   np.testing.assert_array_equal(np.asarray(b_dev.fourier),
                                 np.asarray(b_np.fourier))
+
+
+def test_basis_dtype_gates_device_default(monkeypatch):
+  """With no env override, an f32 basis at device-table scale keeps the
+  f64-exact host path; only reduced-precision storage takes the f32
+  recursion (ADVICE r3: silent precision downgrade for f32 callers)."""
+  monkeypatch.delenv('GENCAST_SH_DEVICE_TABLE', raising=False)
+  lat = np.linspace(-88.0, 88.0, 23)
+  lon = np.arange(0.0, 360.0, 15.0)
+  # Shrink the scale gate so the test doesn't build a real L>=256 table.
+  monkeypatch.setattr(sph_harm, '_DEVICE_TABLE_MIN_L', 8)
+  b_f32 = sph_harm.basis_for_grid(lat, lon, dtype=np.float32)
+  x = np.sin(np.deg2rad(lat))
+  ref = sph_harm.legendre_table(x, b_f32.max_l).astype(np.float32)
+  # f64-exact path: matches the host table bit-for-bit after the cast.
+  np.testing.assert_array_equal(np.asarray(b_f32.legendre), ref)
+  b_bf16 = sph_harm.basis_for_grid(lat, lon, dtype=jnp.bfloat16)
+  assert b_bf16.legendre.dtype == jnp.bfloat16
