@@ -44,7 +44,24 @@ def install():
         return sub
 
     xr = _AutoModule('xarray')
-    for n in ('DataArray', 'Dataset', 'Variable', 'IndexVariable'):
+
+    class _Coord:
+      def __init__(self, data):
+        import numpy as np
+        self.data = np.asarray(data)
+
+    class _MiniArray:
+      """Just enough DataArray for the reference's non-xarray code paths
+      (e.g. solar_radiation's TSI table: .data + .coords[name].data)."""
+
+      def __init__(self, data=None, dims=None, coords=None, **_):
+        import numpy as np
+        self.data = None if data is None else np.asarray(data)
+        self.dims = dims
+        self.coords = {k: _Coord(v) for k, v in (coords or {}).items()}
+
+    xr.DataArray = _MiniArray
+    for n in ('Dataset', 'Variable', 'IndexVariable'):
       setattr(xr, n, type(n, (), {}))
     xr.apply_ufunc = lambda *a, **k: (_ for _ in ()).throw(
         NotImplementedError('xarray stub'))

@@ -26,3 +26,14 @@ def test_reference_parity_suite():
       cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
   assert r.returncode == 0, f'STDOUT:\n{r.stdout}\nSTDERR:\n{r.stderr}'
   assert 'transformer parity OK' in r.stdout
+
+
+def test_tisr_parity():
+  """Executable TISR parity vs the reference's solar_radiation module
+  (subprocess: it enables jax x64, a process-global flag)."""
+  r = subprocess.run(
+      [sys.executable, '-m', 'tests.tisr_parity_impl'],
+      capture_output=True, text=True, env=dict(os.environ),
+      cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+  assert r.returncode == 0, f'STDOUT:\n{r.stdout}\nSTDERR:\n{r.stderr}'
+  assert 'TISR parity OK' in r.stdout
