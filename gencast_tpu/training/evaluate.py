@@ -46,6 +46,11 @@ def parse_args(argv=None):
                  default=None,
                  help='bf16 compute with f32 master weights '
                       '(default: the preset decides; --no-bf16 forces f32)')
+  p.add_argument('--save_netcdf', action='store_true',
+                 help='write the ensemble-mean rollout (+ matching '
+                      'targets) as compressed NetCDF4 (h5py dimension-'
+                      'scale writer; no xarray needed). Skipped with a '
+                      'warning if h5py is unavailable.')
   p.add_argument('--plot_vars', nargs='*',
                  default=['2m_temperature'])
   p.add_argument('--seed', type=int, default=0)
@@ -219,6 +224,21 @@ def main(argv=None):
   np.savez(os.path.join(args.out_dir, 'rollout.npz'),
            predictions=preds, truth=truth,
            lat=statics.grid_lat, lon=statics.grid_lon)
+
+  if args.save_netcdf:
+    # The reference's deliverable artifact format (compressed NetCDF of
+    # predictions + target_* variables, evaluation.py:194-260).
+    try:
+      from gencast_tpu.data import netcdf_writer
+      nc_path = os.path.join(args.out_dir, 'rollout.nc')
+      netcdf_writer.write_forecast(
+          nc_path, ens_mean, d.target_layout,
+          statics.grid_lat, statics.grid_lon, truth=truth,
+          global_attrs={'members': args.num_members, 'steps': k,
+                        'rmse_mean': float(np.mean(list(rmse.values())))})
+      print(f'[eval] NetCDF rollout written to {nc_path}')
+    except ImportError as e:
+      print(f'[eval] --save_netcdf skipped: {e}')
 
   for var in args.plot_vars:
     if var not in d.target_layout.var_names:

@@ -84,6 +84,10 @@ def parse_args(argv=None):
                  help='capture a jax.profiler trace of steps 10-15 here')
   p.add_argument('--stats_path', default=None,
                  help='npz normalization stats (default: compute from data)')
+  p.add_argument('--prefetch', type=int, default=2,
+                 help='batches kept in flight by the background '
+                      'host->device pipeline (data/prefetch.py, the '
+                      'reference Grain role); 0 disables')
   # Parallelism (data axis; model/ensemble used by larger deployments).
   p.add_argument('--dp', type=int, default=1)
   p.add_argument('--mp', type=int, default=1)
@@ -341,12 +345,23 @@ def main(argv=None):
       arrs = {k: jax.device_put(v, sh) for k, v in arrs.items()}
     return arrs
 
+  if args.prefetch > 0:
+    # Background host packing + device transfer (the Grain role): the
+    # step loop consumes device-resident batches and never waits on the
+    # single-core host packer.
+    from gencast_tpu.data import prefetch as prefetch_lib
+    it = prefetch_lib.DevicePrefetcher(it, transform=put,
+                                       buffer_size=args.prefetch)
+    get_batch = lambda: next(it)  # noqa: E731
+  else:
+    get_batch = lambda: put(next(it))  # noqa: E731
+
   t_log = time.time()
   losses = []
   for step in range(start_step, args.steps):
     if args.profile_dir and step == 10:
       jax.profiler.start_trace(args.profile_dir)
-    batch = put(next(it))
+    batch = get_batch()
     step_key = jax.random.fold_in(key, step)
     if ar_steps > 1:
       loss, diags = ar_train_step(
@@ -410,6 +425,8 @@ def main(argv=None):
             statics.grid_lat, statics.grid_lon, var, img)
         sink.log_image('sampling_eval', step + 1, var, img)
 
+  if args.prefetch > 0:
+    it.close()
   sync_functional_state()
   if manager is not None:
     ckpt_lib.save(manager, args.steps - 1, wrapped, optimizer)

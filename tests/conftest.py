@@ -16,3 +16,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+  config.addinivalue_line(
+      "markers",
+      "slow: heavyweight test (>~30s on this 1-core host); default tier "
+      "runs -m 'not slow' (see CLAUDE.md), full tier runs everything.")
+

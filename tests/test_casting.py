@@ -10,6 +10,7 @@ from gencast_tpu.models import casting
 from tests.test_gencast_model import TINY_TASK, setup, _data
 
 
+@pytest.mark.slow
 def test_bf16_loss_and_gradients(setup):
   statics, model = setup
   wrapped = casting.Bfloat16Cast(model)

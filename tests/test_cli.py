@@ -29,14 +29,16 @@ def test_train_and_evaluate_cycle(tmp_path, model):
 
   evaluate.main(['--model', model, '--preset', 'tiny', '--data', 'synthetic',
                  '--ckpt_dir', ckpt, '--max_rollout_steps', '2',
-                 '--out_dir', out, '--num_members', '2'])
+                 '--out_dir', out, '--num_members', '2', '--save_netcdf'])
   with open(os.path.join(out, 'metrics.json')) as f:
     metrics = json.load(f)
   assert 'rmse' in metrics and metrics['steps'] == 2
   assert os.path.exists(os.path.join(out, 'rollout.npz'))
   assert os.path.exists(os.path.join(out, 'triptych_2m_temperature.png'))
+  assert os.path.exists(os.path.join(out, 'rollout.nc'))
 
 
+@pytest.mark.slow
 def test_evaluate_chunked_paths_match_unchunked(tmp_path):
   """--chunk_size and --member_chunk must reproduce the one-shot rollout
   exactly (same folded member keys, same global step-key split)."""

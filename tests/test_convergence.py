@@ -9,6 +9,8 @@ within 5% of the optimal predictor — beating it is not resolvable in a
 smoke test, while climatology is ~2.3x worse than optimal.
 """
 
+import pytest
+
 import dataclasses
 
 import flax.nnx as nnx
@@ -24,6 +26,7 @@ from gencast_tpu.training import steps as steps_lib
 NUM_STEPS = 300
 
 
+@pytest.mark.slow
 def test_tiny_training_converges():
   spec = configs.ModelSpec(
       name='tiny', task=registry.GENCAST_TASK, resolution_deg=10.0,

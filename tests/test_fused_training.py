@@ -2,6 +2,8 @@
 --steps_per_call): one lax.scan dispatch must reproduce the per-step
 loop — same pool rows, same fold_in(key, step) stream."""
 
+import pytest
+
 import json
 
 import flax.nnx as nnx
@@ -35,6 +37,7 @@ def _pool(statics, model, m=3, seed=1):
           'forcings': arr(d.forcing_layout.num_channels)}
 
 
+@pytest.mark.slow
 def test_scanned_matches_per_step():
   model_a, opt_a, statics = _build()
   model_b, opt_b, _ = _build()
@@ -68,6 +71,7 @@ def test_scanned_matches_per_step():
                                rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_cli_fused_smoke(tmp_path):
   from gencast_tpu.training import train
 

@@ -209,6 +209,7 @@ def test_sampler_single_level_is_one_euler_step(setup):
                              rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_autoregressive_loss_gencast(setup):
   """Multi-step AR fine-tuning on a wrapped GenCast stack: finite loss and
   gradients through the whole 2-step rollout (VERDICT round-1 item 5)."""
@@ -235,6 +236,7 @@ def test_autoregressive_loss_gencast(setup):
   assert '2m_temperature' in diags
 
 
+@pytest.mark.slow
 def test_remat_gnns_matches_plain(setup):
   """DenoiserConfig.remat_gnns is a pure memory/recompute tradeoff:
   identical loss and gradients (QUARTER_DEG relies on it)."""

@@ -61,6 +61,7 @@ def test_chunked_scoring_matches_unchunked():
   assert out['crps'].shape == (2, c)
 
 
+@pytest.mark.slow
 def test_paper_scale_ensemble_scores_in_bounded_memory():
   """50 members x [2, 181, 360, 86] (the GenCast paper's 1-deg ensemble,
   4.5 GB f32) must score with a bounded per-band device footprint."""

@@ -117,6 +117,16 @@ def test_ensemble_rollout_end_to_end():
   assert bool(jnp.isfinite(std).all())
 
 
+@pytest.mark.slow
+def test_dryrun_multichip_16_devices():
+  """Exercises the 16-device row of the mesh-factors table
+  (ensemble=4, data=2, model=2): dryrun_multichip re-execs itself in a
+  forced-16-device CPU child, so the 8-device in-process platform here
+  doesn't constrain it."""
+  import __graft_entry__ as entrypoints
+  entrypoints.dryrun_multichip(16)
+
+
 def test_production_kernels_under_sharded_mesh():
   """Pins the kernel-bearing dryrun configs (nano-shaped triblock_pallas +
   tile-plan flash backend with agg plans / streamed edges / node sharding)
