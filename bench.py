@@ -200,11 +200,16 @@ def bench_model(spec, tag, train_reps, fwd=False, sampler=True):
 
   t0 = time.time()
   t1 = _timed(train_loop_factory(1), lambda i: (state, inputs + float(i)))
-  tn = _timed(train_loop_factory(train_reps),
-              lambda i: (state, inputs + float(i)))
+  tns = _timed_all(train_loop_factory(train_reps),
+                   lambda i: (state, inputs + float(i)))
   print(f'[{tag}] train phase wall: {time.time()-t0:.1f}s', file=sys.stderr)
-  dt = (tn - t1) / (train_reps - 1)
-  print(f'[{tag}] train step: {dt*1000:.1f} ms', file=sys.stderr)
+  dts = sorted((tn - t1) / (train_reps - 1) for tn in tns)
+  dt = dts[0]
+  # Cross-session spread on this relay has reached 15% (142 vs 166 ms at
+  # 1 degree, 2026-08-19, same code) — log the within-session spread so
+  # a round-over-round delta is attributable to code vs relay weather.
+  print(f'[{tag}] train step: {dt*1000:.1f} ms (best of {len(dts)}; '
+        f'spread {dts[0]*1000:.1f}..{dts[-1]*1000:.1f})', file=sys.stderr)
   _emit(f'{tag}_train_step_ms', dt * 1000, 'ms/step')
 
   if not sampler:
