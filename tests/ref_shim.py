@@ -30,7 +30,7 @@ def install():
         jax.ops.segment_sum(data, segment_ids, num_segments=num_segments))
     for n in ('ArrayTree', 'AggregateEdgesToNodesFn',
               'AggregateNodesToGlobalsFn', 'AggregateEdgesToGlobalsFn',
-              'NodeFeatures'):
+              'NodeFeatures', 'GraphsTuple'):
       setattr(jraph, n, object)
     sys.modules['jraph'] = jraph
   if 'xarray' not in sys.modules:
@@ -69,6 +69,16 @@ def install():
     coords_mod.Coordinates = type('Coordinates', (), {})
     xr.core.coordinates = coords_mod
     sys.modules['xarray'] = xr
+  if 'dinosaur' not in sys.modules:
+    # gencast/samplers_utils.py imports dinosaur.spherical_harmonic at
+    # module scope (used only inside noise-sampling calls the parity tests
+    # never make); a bare module object satisfies the import.
+    dino = types.ModuleType('dinosaur')
+    sh = types.ModuleType('dinosaur.spherical_harmonic')
+    sh.Grid = type('Grid', (), {})
+    dino.spherical_harmonic = sh
+    sys.modules['dinosaur'] = dino
+    sys.modules['dinosaur.spherical_harmonic'] = sh
   if 'trimesh' not in sys.modules:
     # Back the reference's containing-triangle query with our own
     # implementation (graph/connectivity.py), so both sides build the

@@ -473,6 +473,82 @@ def test_deepmind_checkpoint_roundtrip(statics):
   assert rel < 1e-4, rel
 
 
+def test_reference_serializer_cross_compat(statics):
+  """Published-npz grammar vs the reference's OWN serializer: a CheckPoint
+  the reference's common/checkpoint.py:26-39 `dump` writes (with the real
+  gencast/gencast.py:118-127 CheckPoint dataclass) loads through
+  training/deepmind_checkpoint with full numerical parity, and a container
+  we write deserializes through the reference's typed `load` (:42-53) into
+  equal configs and bitwise-equal params. This is the strongest offline
+  validation of the published-weights path available without the real
+  DeepMind npz files (PARITY.md documents the residual risk)."""
+  import tempfile
+
+  from common import checkpoint as ref_ckpt
+  from gencast import gencast as ref_gencast
+  from gencast import denoiser as ref_den
+  from graphcast import graphcast as ref_graphcast
+  from gencast_tpu.training import deepmind_checkpoint as dm_ckpt
+
+  mine, ref, arch, ref_state, c_data = _setup_denoiser_translation(statics)
+  haiku_params = _haikuify(ref_state)
+  out_size = mine.target_layout.num_channels
+  st_cfg = ref_den.SparseTransformerConfig(
+      attention_k_hop=statics.attention_k_hop, d_model=24, num_layers=2,
+      num_heads=2, attention_type='triblockdiag_mha', ffw_hidden=48,
+      ffw_winit_final_mult=1.0, attn_winit_final_mult=1.0)
+  ckpt = ref_gencast.CheckPoint(
+      description='cross-serializer parity checkpoint',
+      license='CC-BY-NC-SA-4.0',
+      params=haiku_params,
+      task_config=ref_graphcast.TASK_13,
+      denoiser_architecture_config=ref_den.DenoiserArchitectureConfig(
+          sparse_transformer_config=st_cfg, mesh_size=1, latent_size=24,
+          hidden_layers=1, node_output_size=out_size),
+      sampler_config=ref_gencast.SamplerConfig(),
+      noise_config=ref_gencast.NoiseConfig(),
+      noise_encoder_config=ref_den.NoiseEncoderConfig())
+
+  # Direction 1: the reference writes, we read.
+  with tempfile.NamedTemporaryFile(suffix='.npz') as f:
+    with open(f.name, 'wb') as fh:
+      ref_ckpt.dump(fh, ckpt)
+    ref_flat_keys = set(np.load(f.name).files)
+    assert dm_ckpt.is_checkpoint_npz(f.name)
+    tree = dm_ckpt.load(f.name)
+  # Flattening conventions must agree key-for-key on the params tree.
+  my_flat_keys = set(dm_ckpt.flatten_tree({'params': haiku_params}))
+  assert my_flat_keys <= ref_flat_keys, sorted(my_flat_keys - ref_flat_keys)
+  assert tree['description'] == 'cross-serializer parity checkpoint'
+  scfg = dm_ckpt.config_tree(tree, 'sampler_config')
+  assert scfg['max_noise_level'] == 80.0
+  assert scfg['num_noise_levels'] == 20
+  assert scfg['rho'] == 7.0
+  ncfg = dm_ckpt.config_tree(tree, 'noise_config')
+  assert ncfg['training_max_noise_level'] == 88.0
+  _load(mine, dm_ckpt.denoiser_state(tree))
+  rel = _assert_denoiser_outputs_match(statics, mine, ref, arch, c_data)
+  print(f'reference-serializer checkpoint rel err {rel:.2e}')
+  assert rel < 1e-4, rel
+
+  # Direction 2: we write, the reference's typed loader reads.
+  with tempfile.NamedTemporaryFile(suffix='.npz') as f:
+    dm_ckpt.save(f.name, tree)
+    with open(f.name, 'rb') as fh:
+      back = ref_ckpt.load(fh, ref_gencast.CheckPoint)
+  assert back.description == ckpt.description
+  assert back.sampler_config == ckpt.sampler_config
+  assert back.noise_config == ckpt.noise_config
+  assert back.noise_encoder_config == ckpt.noise_encoder_config
+  assert back.task_config == ckpt.task_config
+  assert back.denoiser_architecture_config == ckpt.denoiser_architecture_config
+  flat_orig = dm_ckpt.flatten_tree(haiku_params)
+  flat_back = dm_ckpt.flatten_tree(back.params)
+  assert set(flat_back) == set(flat_orig)
+  for k, v in flat_orig.items():
+    np.testing.assert_array_equal(np.asarray(flat_back[k]), np.asarray(v), k)
+
+
 if __name__ == '__main__':
   assert not __import__('flax').config.flax_pytree_module, \
       'run with FLAX_PYTREE_MODULE=false'
@@ -489,3 +565,5 @@ if __name__ == '__main__':
   print('GENCAST DENOISER translation parity OK')
   test_deepmind_checkpoint_roundtrip(statics)
   print('DEEPMIND CHECKPOINT roundtrip parity OK')
+  test_reference_serializer_cross_compat(statics)
+  print('REFERENCE-SERIALIZER cross-compat OK')
