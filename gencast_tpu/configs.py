@@ -171,13 +171,18 @@ def build_graphcast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
                     cache_dir: Optional[str] = DEFAULT_CACHE_DIR):
   """Builds a GraphCast deterministic model from a ModelSpec.
 
-  The spec's task is converted to the GraphCast variable set (adds
-  precipitation + TISR forcing) keeping its pressure levels; num_layers is
+  A GenCast-family spec task is converted to the GraphCast variable set
+  (adds precipitation + TISR forcing) keeping its pressure levels; a task
+  that already carries the TISR forcing (graphcast_13 / graphcast_37 /
+  graphcast_13_precip_out from the registry) is used as-is. num_layers is
   interpreted as gnn_msg_steps (reference default 16).
   """
   from gencast_tpu.models.graphcast import GraphCast, GraphCastConfig
-  task = dataclasses.replace(registry.GRAPHCAST_TASK_13,
-                             pressure_levels=spec.task.pressure_levels)
+  if 'toa_incident_solar_radiation' in spec.task.forcing_variables:
+    task = spec.task
+  else:
+    task = dataclasses.replace(registry.GRAPHCAST_TASK_13,
+                               pressure_levels=spec.task.pressure_levels)
   spec = dataclasses.replace(spec, task=task)
   if statics is None:
     lat, lon = grid_for_resolution(spec.resolution_deg)

@@ -144,11 +144,21 @@ GRAPHCAST_TASK_13 = TaskSpec(
 GRAPHCAST_TASK_37 = dataclasses.replace(
     GRAPHCAST_TASK_13, pressure_levels=PRESSURE_LEVELS_ERA5_37)
 
+# Precipitation predicted but not consumed (graphcast/graphcast.py:165-171):
+# for datasets whose precip analysis is unreliable as an input.
+GRAPHCAST_TASK_13_PRECIP_OUT = dataclasses.replace(
+    GRAPHCAST_TASK_13,
+    input_variables=(
+        TARGET_SURFACE_NO_PRECIP_VARS + TARGET_ATMOSPHERIC_VARS
+        + FORCING_VARS + STATIC_VARS),
+)
+
 TASKS = {
     'gencast': GENCAST_TASK,
     'gencast_full': GENCAST_TASK_FULL,
     'graphcast_13': GRAPHCAST_TASK_13,
     'graphcast_37': GRAPHCAST_TASK_37,
+    'graphcast_13_precip_out': GRAPHCAST_TASK_13_PRECIP_OUT,
 }
 
 

@@ -25,6 +25,26 @@ def test_gencast_task_channel_counts():
   assert cond.num_channels == 4 + 82
 
 
+def test_task_registry_matches_reference_variants():
+  """The TASKS index carries every reference TaskConfig variant
+  (graphcast/graphcast.py:145-171, gencast/gencast.py:57-71)."""
+  assert set(registry.TASKS) == {
+      'gencast', 'gencast_full', 'graphcast_13', 'graphcast_37',
+      'graphcast_13_precip_out'}
+  po = registry.GRAPHCAST_TASK_13_PRECIP_OUT
+  assert 'total_precipitation_6hr' not in po.input_variables
+  assert 'total_precipitation_6hr' in po.target_variables
+  assert po.pressure_levels == registry.PRESSURE_LEVELS_WEATHERBENCH_13
+  # A precip-out layout is constructible: the target var missing from the
+  # inputs maps to "no residual" (-1), the non-residual normalization path.
+  m = L.residual_channel_map(
+      L.build_layout(po.target_variables, (500,), 1),
+      L.build_layout(po.input_variables, (500,), po.num_input_frames))
+  tl = L.build_layout(po.target_variables, (500,), 1)
+  precip_ch = tl.var_channels('total_precipitation_6hr')
+  assert all(m[c] == -1 for c in precip_ch)
+
+
 def _demo_fields(rng, nlat=5, nlon=8, batch=2, t=2, levels=(500, 850, 1000)):
   nl = len(levels)
   return {
