@@ -549,6 +549,77 @@ def test_reference_serializer_cross_compat(statics):
     np.testing.assert_array_equal(np.asarray(flat_back[k]), np.asarray(v), k)
 
 
+def test_sampler_schedule_parity():
+  """EDM sampler schedule + preconditioning math vs the reference's OWN
+  code: gencast/samplers_utils.py:350-431 (rho_inverse_cdf, noise_schedule,
+  stochastic_churn_rate_schedule) and the DPM++2S Sampler's schedule
+  construction + c_in/c_out/c_skip (gencast/dpm_solver_plus_plus_2s.py:33-43,
+  182-190). These define WHICH noise levels the 2N-1 denoiser calls see, so
+  drift here silently changes every forecast while all module-level parity
+  stays green."""
+  from gencast import samplers_utils as ref_su
+  from gencast import dpm_solver_plus_plus_2s as ref_dpm
+  from gencast_tpu.models import diffusion_utils as my_du
+  from gencast_tpu.models.gencast import NoiseConfig, SamplerConfig
+
+  # Schedule functions across configs incl. the clamp regime (rate/num
+  # exceeding sqrt(2)-1) and a finite churn_max window.
+  configs = [
+      (80.0, 0.03, 20, 7.0, 2.5, 0.75, float('inf')),   # production sampler
+      (88.0, 0.02, 30, 7.0, 0.0, 0.05, 50.0),           # churn off
+      (80.0, 0.002, 4, 3.0, 10.0, 0.05, 50.0),          # clamped churn
+      (160.0, 0.1, 50, 5.0, 1.0, 1.0, 40.0),            # windowed churn
+  ]
+  for (mx, mn, num, rho, rate, cmin, cmax) in configs:
+    ref_lv = ref_su.noise_schedule(mx, mn, num, rho)
+    my_lv = my_du.noise_schedule(mx, mn, num, rho)
+    np.testing.assert_allclose(my_lv, ref_lv, rtol=1e-12, atol=0)
+    ref_ch = ref_su.stochastic_churn_rate_schedule(ref_lv, rate, cmin, cmax)
+    my_ch = my_du.stochastic_churn_rate_schedule(my_lv, rate, cmin, cmax)
+    np.testing.assert_allclose(my_ch, ref_ch, rtol=1e-12, atol=0)
+
+  # Training-time noise distribution quantiles (gencast.py loss path).
+  nc = NoiseConfig()
+  cdf = np.linspace(0.0, 1.0, 257)
+  ref_q = ref_su.rho_inverse_cdf(nc.training_min_noise_level,
+                                 nc.training_max_noise_level,
+                                 nc.training_noise_level_rho, cdf)
+  my_q = my_du.rho_inverse_cdf(nc.training_min_noise_level,
+                               nc.training_max_noise_level,
+                               nc.training_noise_level_rho, cdf)
+  np.testing.assert_allclose(my_q, ref_q, rtol=1e-12, atol=0)
+
+  # The reference Sampler's constructed schedules for OUR SamplerConfig
+  # values, and its preconditioning coefficients vs ours
+  # (models/gencast.py:108-115).
+  sc = SamplerConfig()
+  ref_sampler = ref_dpm.Sampler(
+      denoiser=None, max_noise_level=sc.max_noise_level,
+      min_noise_level=sc.min_noise_level,
+      num_noise_levels=sc.num_noise_levels, rho=sc.rho,
+      stochastic_churn_rate=sc.stochastic_churn_rate,
+      churn_min_noise_level=sc.churn_min_noise_level,
+      churn_max_noise_level=sc.churn_max_noise_level,
+      noise_level_inflation_factor=sc.noise_level_inflation_factor)
+  np.testing.assert_allclose(
+      my_du.noise_schedule(sc.max_noise_level, sc.min_noise_level,
+                           sc.num_noise_levels, sc.rho),
+      ref_sampler._noise_levels, rtol=1e-12, atol=0)
+  np.testing.assert_allclose(
+      my_du.stochastic_churn_rate_schedule(
+          np.asarray(ref_sampler._noise_levels), sc.stochastic_churn_rate,
+          sc.churn_min_noise_level, sc.churn_max_noise_level),
+      ref_sampler._per_step_churn_rates, rtol=1e-12, atol=0)
+
+  sig = np.concatenate([[1e-4, nc.training_min_noise_level],
+                        np.geomspace(0.01, 88.0, 31)])
+  my_c_in = (sig ** 2 + 1.0) ** -0.5
+  my_c_out = sig * (sig ** 2 + 1.0) ** -0.5
+  my_c_skip = 1.0 / (sig ** 2 + 1.0)
+  np.testing.assert_allclose(my_c_in, ref_sampler._c_in(sig), rtol=1e-12)
+  np.testing.assert_allclose(my_c_out, ref_sampler._c_out(sig), rtol=1e-12)
+  np.testing.assert_allclose(my_c_skip, ref_sampler._c_skip(sig), rtol=1e-12)
+
 if __name__ == '__main__':
   assert not __import__('flax').config.flax_pytree_module, \
       'run with FLAX_PYTREE_MODULE=false'
@@ -567,3 +638,5 @@ if __name__ == '__main__':
   print('DEEPMIND CHECKPOINT roundtrip parity OK')
   test_reference_serializer_cross_compat(statics)
   print('REFERENCE-SERIALIZER cross-compat OK')
+  test_sampler_schedule_parity()
+  print('SAMPLER SCHEDULE parity OK')

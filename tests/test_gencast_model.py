@@ -209,6 +209,54 @@ def test_sampler_single_level_is_one_euler_step(setup):
                              rtol=1e-5, atol=1e-5)
 
 
+def test_sampler_matches_reference_loop_formulation(setup):
+  """The scan-restructured sampler (peeled final Euler step, fused 2S body)
+  produces the same trajectory as a direct transcription of the reference's
+  fori_loop update rule (dpm_solver_plus_plus_2s.py:120-158) run as a plain
+  Python loop over the same schedule, with churn disabled so the comparison
+  is deterministic."""
+  import dataclasses as dc
+  statics, model = setup
+  inputs, _, forcings = _data(statics, TINY_TASK)
+  key = jax.random.PRNGKey(11)
+  batch = inputs.shape[0]
+
+  old = model.sampler_config
+  model.sampler_config = dc.replace(old, stochastic_churn_rate=0.0)
+  try:
+    out = model.sample(inputs, forcings, key)
+
+    from gencast_tpu.models import diffusion_utils
+    sc = model.sampler_config
+    sigmas = diffusion_utils.noise_schedule(
+        sc.max_noise_level, sc.min_noise_level, sc.num_noise_levels, sc.rho)
+
+    def denoise(x, sigma):
+      sigma_b = jnp.full((batch,), max(sigma, 1e-6), dtype=jnp.float32)
+      return model._precond_denoise(inputs, forcings, x, sigma_b)
+
+    # Reference body_fn, transcribed: churnless 2S step per level, with the
+    # final sigma_next == 0 level selecting the single denoised state.
+    _, k0 = jax.random.split(key)
+    x = model._sphere_noise(k0, batch, jnp.float32) * float(sigmas[0])
+    for i in range(len(sigmas) - 1):
+      sigma, sigma_next = float(sigmas[i]), float(sigmas[i + 1])
+      x_denoised = denoise(x, sigma)
+      if sigma_next == 0.0:
+        x = x_denoised
+        break
+      sigma_mid = float(np.sqrt(sigma * sigma_next))
+      alpha_mid = sigma_mid / sigma
+      x_mid = alpha_mid * x + (1.0 - alpha_mid) * x_denoised
+      x_mid_denoised = denoise(x_mid, sigma_mid)
+      alpha_next = sigma_next / sigma
+      x = alpha_next * x + (1.0 - alpha_next) * x_mid_denoised
+  finally:
+    model.sampler_config = old
+  np.testing.assert_allclose(np.asarray(out), np.asarray(x),
+                             rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.slow
 def test_autoregressive_loss_gencast(setup):
   """Multi-step AR fine-tuning on a wrapped GenCast stack: finite loss and
