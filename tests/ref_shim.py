@@ -60,8 +60,18 @@ def install():
         self.dims = dims
         self.coords = {k: _Coord(v) for k, v in (coords or {}).items()}
 
+    class _MiniVariable:
+      """Just enough xarray.Variable for data_utils.featurize_progress
+      (positional (dims, data) construction + .dims/.data reads)."""
+
+      def __init__(self, dims=None, data=None, **_):
+        import numpy as np
+        self.dims = dims
+        self.data = None if data is None else np.asarray(data)
+
     xr.DataArray = _MiniArray
-    for n in ('Dataset', 'Variable', 'IndexVariable'):
+    xr.Variable = _MiniVariable
+    for n in ('Dataset', 'IndexVariable'):
       setattr(xr, n, type(n, (), {}))
     xr.apply_ufunc = lambda *a, **k: (_ for _ in ()).throw(
         NotImplementedError('xarray stub'))

@@ -620,6 +620,44 @@ def test_sampler_schedule_parity():
   np.testing.assert_allclose(my_c_out, ref_sampler._c_out(sig), rtol=1e-12)
   np.testing.assert_allclose(my_c_skip, ref_sampler._c_skip(sig), rtol=1e-12)
 
+def test_derived_forcings_parity():
+  """year/day progress math vs the reference's OWN get_year_progress /
+  get_day_progress / featurize_progress (common/data_utils.py:51-135).
+  These generate four of the input channels of every task, so a constant
+  drift here shifts every model family's conditioning."""
+  from common import data_utils as ref_du
+  from gencast_tpu.data import forcings as my_f
+
+  rng = np.random.default_rng(7)
+  # Epoch boundary, far future, ERA5-era timestamps, odd fractions.
+  t = np.concatenate([
+      [0.0, 1.0, 86400.0 - 1.0, 86400.0],
+      rng.uniform(0, 2.2e9, 64),
+      np.arange(1.0e9, 1.0e9 + 12 * 43200.0, 43200.0),  # 12h cadence
+  ])
+  lon = np.arange(0.0, 360.0, 2.5)
+  np.testing.assert_array_equal(my_f.year_progress(t),
+                                ref_du.get_year_progress(t))
+  np.testing.assert_array_equal(my_f.day_progress(t, lon),
+                                ref_du.get_day_progress(t, lon))
+
+  # The sin/cos featurization (featurize_progress:104-135) vs our packed
+  # generated_forcings fields.
+  lat = np.arange(-90.0, 90.1, 30.0)
+  mine = my_f.generated_forcings(t, lat, lon)
+  ref_yp = ref_du.featurize_progress(
+      'year_progress', ('time',), ref_du.get_year_progress(t))
+  ref_dp = ref_du.featurize_progress(
+      'day_progress', ('time', 'lon'), ref_du.get_day_progress(t, lon))
+  for suffix in ('sin', 'cos'):
+    ref_y = np.asarray(ref_yp[f'year_progress_{suffix}'].data)
+    np.testing.assert_allclose(mine[f'year_progress_{suffix}'][:, 0, 0],
+                               ref_y, rtol=0, atol=0)
+    ref_d = np.asarray(ref_dp[f'day_progress_{suffix}'].data)
+    np.testing.assert_allclose(mine[f'day_progress_{suffix}'][:, 0, :],
+                               ref_d, rtol=0, atol=0)
+
+
 if __name__ == '__main__':
   assert not __import__('flax').config.flax_pytree_module, \
       'run with FLAX_PYTREE_MODULE=false'
@@ -640,3 +678,5 @@ if __name__ == '__main__':
   print('REFERENCE-SERIALIZER cross-compat OK')
   test_sampler_schedule_parity()
   print('SAMPLER SCHEDULE parity OK')
+  test_derived_forcings_parity()
+  print('DERIVED FORCINGS parity OK')
