@@ -658,6 +658,39 @@ def test_derived_forcings_parity():
                                ref_d, rtol=0, atol=0)
 
 
+def test_loss_weight_parity():
+  """Latitude/level loss-weight vectors vs the reference's OWN helpers
+  (common/losses.py:99-187). These scale every term of the training loss;
+  the parity run proves both pole-handling regimes and the
+  pressure-proportional level weights bit-for-bit."""
+  from common import losses as ref_losses
+  from gencast_tpu.data import layout as my_layout
+
+  for dlat in (30.0, 10.0, 2.5, 1.0):
+    # With poles: [-90, ..., 90].
+    lat_p = np.arange(-90.0, 90.0 + 1e-9, dlat)
+    ref_w = ref_losses._weight_for_latitude_vector_with_poles(lat_p.copy())
+    ref_w = ref_w / ref_w.mean()
+    np.testing.assert_allclose(my_layout.latitude_weights(lat_p), ref_w,
+                               rtol=1e-6)  # ours stores f32 (device dtype)
+    # Without poles: [-(90 - dlat/2), ..., 90 - dlat/2].
+    lat_np = np.arange(-90.0 + dlat / 2, 90.0, dlat)
+    ref_w = ref_losses._weight_for_latitude_vector_without_poles(lat_np.copy())
+    ref_w = ref_w / ref_w.mean()
+    np.testing.assert_allclose(my_layout.latitude_weights(lat_np), ref_w,
+                               rtol=1e-6)
+
+  # Pressure-proportional level weights (normalized_level_weights:99-102)
+  # as baked into loss_channel_weights for a multi-level variable.
+  levels = (500, 700, 850, 1000)
+  lay = my_layout.build_layout(('temperature',), levels, 1)
+  total_w, _ = my_layout.loss_channel_weights(lay, {})
+  lv = np.asarray(levels, dtype=np.float64)
+  ref_level_w = lv / lv.mean()
+  # One variable, weight 1.0, channels_of_var = len(levels).
+  np.testing.assert_allclose(total_w, ref_level_w / len(levels), rtol=1e-6)
+
+
 if __name__ == '__main__':
   assert not __import__('flax').config.flax_pytree_module, \
       'run with FLAX_PYTREE_MODULE=false'
@@ -680,3 +713,5 @@ if __name__ == '__main__':
   print('SAMPLER SCHEDULE parity OK')
   test_derived_forcings_parity()
   print('DERIVED FORCINGS parity OK')
+  test_loss_weight_parity()
+  print('LOSS WEIGHT parity OK')
