@@ -40,7 +40,7 @@ failure mode).
 Knobs:
   BENCH_BUDGET_S   total wall-clock budget, seconds (default 480)
   BENCH_SECTIONS   comma list from {tiny,nano,onedeg,qdeg,nano_sampler,
-                   onedeg_sampler,onedeg_rollout30,tiny_rollout30},
+                   onedeg_sampler,onedeg_rollout30,tiny_rollout3},
                    ordered by priority (default 'nano,onedeg,qdeg,
                    nano_sampler,onedeg_sampler,onedeg_rollout30';
                    'tiny*' are the CPU-sized configs the test tier uses
@@ -233,37 +233,13 @@ def bench_sampler(spec, tag):
   """Sampler-only section: rebuilds the model (cheap with warm graph
   pickles, 3-15s) so the sampler metrics can run AFTER all train-step
   metrics in the priority order instead of inside bench_model."""
-  import flax.nnx as nnx
-  import jax
-  import jax.numpy as jnp
-
-  from gencast_tpu import configs
+  from gencast_tpu import utils
 
   _probe()
-  t0 = time.time()
-  model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(0))
-  if spec.cast_bf16:
-    from gencast_tpu.models import casting
-    model = casting.Bfloat16Cast(model)
-  print(f'[{tag}] model build: {time.time()-t0:.1f}s', file=sys.stderr)
-  d = (model.predictor if hasattr(model, 'predictor') else model).denoiser
-  nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
-
-  def arr(c, i):
-    return jax.random.normal(jax.random.PRNGKey(i), (1, nlat, nlon, c),
-                             jnp.float32)
-
-  inputs = arr(d.input_layout.num_channels, 0)
-  forcings = arr(d.forcing_layout.num_channels, 2)
-  key = jax.random.PRNGKey(0)
-  graphdef_m, state_m = nnx.split(model)
-
-  @jax.jit
-  def sample(state, inputs, forcings, k):
-    mm = nnx.merge(graphdef_m, state)
-    return mm.sample(inputs, forcings, k).sum()
-
-  t = _timed(sample, lambda i: (state_m, inputs + float(i), forcings, key),
+  fx = utils.sampler_fixture(
+      spec, log=lambda m: print(f'[{tag}] {m}', file=sys.stderr))
+  t = _timed(fx.sample,
+             lambda i: (fx.state, fx.inputs + float(i), fx.forcings, fx.key),
              iters=2)
   print(f'[{tag}] sampler: {t:.2f}s/forecast-step', file=sys.stderr)
   _emit(f'{tag}_sampler_sec', t, 's/forecast-step')
@@ -280,31 +256,23 @@ def bench_rollout30(spec, tag, num_steps=30):
   import jax
   import jax.numpy as jnp
 
-  from gencast_tpu import configs
   from gencast_tpu import rollout as rollout_lib
+  from gencast_tpu import utils
   from gencast_tpu.data import layout as layout_lib
 
   _probe()
-  t0 = time.time()
-  model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(0))
-  if spec.cast_bf16:
-    from gencast_tpu.models import casting
-    model = casting.Bfloat16Cast(model)
-  print(f'[{tag}] model build: {time.time()-t0:.1f}s', file=sys.stderr)
-  d = (model.predictor if hasattr(model, 'predictor') else model).denoiser
-  nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
-
-  inputs = jax.random.normal(
-      jax.random.PRNGKey(0), (1, nlat, nlon, d.input_layout.num_channels),
-      jnp.float32)
+  fx = utils.sampler_fixture(
+      spec, log=lambda m: print(f'[{tag}] {m}', file=sys.stderr))
+  d = fx.denoiser
+  nlat = fx.statics.grid_lat.shape[0]
+  nlon = fx.statics.grid_lon.shape[0]
   frc = jax.random.normal(
       jax.random.PRNGKey(1),
       (num_steps, 1, nlat, nlon, d.forcing_layout.num_channels),
       jnp.float32)
-  key = jax.random.PRNGKey(2)
   maps = layout_lib.rollout_maps(d.input_layout, d.target_layout,
                                  d.forcing_layout)
-  graphdef, state = nnx.split(model)
+  graphdef, state = fx.graphdef, fx.state
 
   @jax.jit
   def run(state, inputs, forcings, key):
@@ -313,7 +281,8 @@ def bench_rollout30(spec, tag, num_steps=30):
                                 inputs, forcings, maps, key)
     return preds.sum()
 
-  t = _timed(run, lambda i: (state, inputs + float(i), frc, key), iters=1)
+  t = _timed(run, lambda i: (state, fx.inputs + float(i), frc, fx.key),
+             iters=1)
   print(f'[{tag}] rollout{num_steps}: {t:.1f}s', file=sys.stderr)
   _emit(f'{tag}_rollout{num_steps}_sec', t, f's/{num_steps}-step-forecast')
 
@@ -396,7 +365,7 @@ def _dispatch(name: str) -> None:
     bench_sampler(configs.ONE_DEG, 'onedeg')
   elif name == 'onedeg_rollout30':
     bench_rollout30(configs.ONE_DEG, 'onedeg')
-  elif name == 'tiny_rollout30':
+  elif name == 'tiny_rollout3':
     bench_rollout30(configs.TINY, 'tiny', num_steps=3)
   else:
     raise ValueError(f'unknown bench section {name!r}')

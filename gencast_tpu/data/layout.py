@@ -142,7 +142,13 @@ def pack(fields: Mapping[str, jnp.ndarray], layout: ChannelLayout,
 
 
 def unpack(packed: jnp.ndarray, layout: ChannelLayout) -> Dict[str, jnp.ndarray]:
-  """[batch, lat, lon, C] -> dict of named arrays (inverse of `pack`)."""
+  """[batch, lat, lon, C] -> dict of named arrays (inverse of `pack`).
+
+  Dispatches on the input's array module: numpy input stays on host
+  (host-side writers must not round-trip multi-GB rollouts through the
+  device), jax input stays traced/on-device.
+  """
+  xp = np if isinstance(packed, np.ndarray) else jnp
   out = {}
   idx = 0
   nl = len(layout.pressure_levels)
@@ -156,11 +162,11 @@ def unpack(packed: jnp.ndarray, layout: ChannelLayout) -> Dict[str, jnp.ndarray]
       c = t * nl
       x = packed[..., idx:idx + c]
       b, la, lo = x.shape[:3]
-      out[name] = jnp.moveaxis(x.reshape(b, la, lo, t, nl), (3, 4), (1, 2))
+      out[name] = xp.moveaxis(x.reshape(b, la, lo, t, nl), (3, 4), (1, 2))
       idx += c
     else:
       x = packed[..., idx:idx + t]
-      out[name] = jnp.moveaxis(x, 3, 1)
+      out[name] = xp.moveaxis(x, 3, 1)
       idx += t
   assert idx == layout.num_channels
   return out

@@ -45,40 +45,46 @@ class DevicePrefetcher:
     self._transform = transform or (lambda x: x)
     self._q: queue.Queue = queue.Queue(maxsize=buffer_size)
     self._stop = threading.Event()
+    self._done = False
     self._thread = threading.Thread(target=self._worker, daemon=True,
                                     name='gencast-prefetch')
     self._thread.start()
 
+  def _put(self, item) -> bool:
+    """Stop-aware blocking put. Returns False if close() raced us."""
+    while not self._stop.is_set():
+      try:
+        self._q.put(item, timeout=0.1)
+        return True
+      except queue.Full:
+        continue
+    return False
+
   def _worker(self):
     try:
       for batch in self._it:
-        item = (self._transform(batch), None)
-        while not self._stop.is_set():
-          try:
-            self._q.put(item, timeout=0.1)
-            break
-          except queue.Full:
-            continue
-        if self._stop.is_set():
+        if not self._put((self._transform(batch), None)):
           return
-      self._q.put((self._DONE, None))
+      self._put((self._DONE, None))
     except BaseException as e:  # noqa: BLE001 - surfaced to the consumer
-      try:
-        self._q.put((None, e), timeout=5.0)
-      except queue.Full:
-        pass
+      # Must not drop the error even if the consumer is mid-step for
+      # minutes (1-deg compiles / relay stalls): keep trying until it
+      # lands or close() is called, else the consumer would block
+      # forever on an empty queue with a dead worker.
+      self._put((None, e))
 
   def __iter__(self):
     return self
 
   def __next__(self):
-    if self._stop.is_set():
+    if self._stop.is_set() or self._done:
       raise StopIteration
     item, err = self._q.get()
     if err is not None:
       self.close()
       raise err
     if item is self._DONE:
+      self._done = True
       raise StopIteration
     return item
 

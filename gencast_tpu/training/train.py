@@ -84,10 +84,13 @@ def parse_args(argv=None):
                  help='capture a jax.profiler trace of steps 10-15 here')
   p.add_argument('--stats_path', default=None,
                  help='npz normalization stats (default: compute from data)')
-  p.add_argument('--prefetch', type=int, default=2,
+  p.add_argument('--prefetch', type=int, default=None,
                  help='batches kept in flight by the background '
                       'host->device pipeline (data/prefetch.py, the '
-                      'reference Grain role); 0 disables')
+                      'reference Grain role); 0 disables. Default: 2 on '
+                      'multi-core hosts, 0 on <=2 cores (the A/B in '
+                      'tools/ab_prefetch_onedeg.py measured the thread '
+                      'as pure contention on a single-core host)')
   # Parallelism (data axis; model/ensemble used by larger deployments).
   p.add_argument('--dp', type=int, default=1)
   p.add_argument('--mp', type=int, default=1)
@@ -345,88 +348,94 @@ def main(argv=None):
       arrs = {k: jax.device_put(v, sh) for k, v in arrs.items()}
     return arrs
 
-  if args.prefetch > 0:
+  n_prefetch = args.prefetch
+  if n_prefetch is None:
+    n_prefetch = 2 if (os.cpu_count() or 1) > 2 else 0
+  prefetcher = None
+  if n_prefetch > 0:
     # Background host packing + device transfer (the Grain role): the
     # step loop consumes device-resident batches and never waits on the
-    # single-core host packer.
+    # host packer.
     from gencast_tpu.data import prefetch as prefetch_lib
-    it = prefetch_lib.DevicePrefetcher(it, transform=put,
-                                       buffer_size=args.prefetch)
+    it = prefetcher = prefetch_lib.DevicePrefetcher(
+        it, transform=put, buffer_size=n_prefetch)
     get_batch = lambda: next(it)  # noqa: E731
   else:
     get_batch = lambda: put(next(it))  # noqa: E731
 
   t_log = time.time()
   losses = []
-  for step in range(start_step, args.steps):
-    if args.profile_dir and step == 10:
-      jax.profiler.start_trace(args.profile_dir)
-    batch = get_batch()
-    step_key = jax.random.fold_in(key, step)
-    if ar_steps > 1:
-      loss, diags = ar_train_step(
-          wrapped, optimizer, batch['inputs'], batch['targets'],
-          batch['forcings'], step_key)
-    elif step_fn is not None:
-      fstate, loss, diags = step_fn(
-          fstate, batch['inputs'], batch['targets'], batch['forcings'],
-          step_key)
-    else:
-      loss, diags = steps_lib.train_step(
-          wrapped, optimizer, batch['inputs'], batch['targets'],
-          batch['forcings'], step_key)
-    losses.append(loss)
-    if args.profile_dir and step == 15:
-      jax.block_until_ready(loss)
-      jax.profiler.stop_trace()
-      print(f'[train] profiler trace written to {args.profile_dir}')
+  try:
+    for step in range(start_step, args.steps):
+      if args.profile_dir and step == 10:
+        jax.profiler.start_trace(args.profile_dir)
+      batch = get_batch()
+      step_key = jax.random.fold_in(key, step)
+      if ar_steps > 1:
+        loss, diags = ar_train_step(
+            wrapped, optimizer, batch['inputs'], batch['targets'],
+            batch['forcings'], step_key)
+      elif step_fn is not None:
+        fstate, loss, diags = step_fn(
+            fstate, batch['inputs'], batch['targets'], batch['forcings'],
+            step_key)
+      else:
+        loss, diags = steps_lib.train_step(
+            wrapped, optimizer, batch['inputs'], batch['targets'],
+            batch['forcings'], step_key)
+      losses.append(loss)
+      if args.profile_dir and step == 15:
+        jax.block_until_ready(loss)
+        jax.profiler.stop_trace()
+        print(f'[train] profiler trace written to {args.profile_dir}')
 
-    if (step + 1) % args.log_every == 0:
-      jax.block_until_ready(loss)
-      dt = time.time() - t_log
-      mean_loss = float(jnp.stack(losses).mean())
-      print(f'[train] step {step + 1}/{args.steps} '
-            f'loss={mean_loss:.4f} {args.log_every / dt:.2f} steps/s')
-      sink.log('train', step + 1, loss=mean_loss,
-               steps_per_sec=args.log_every / dt)
-      losses = []
-      t_log = time.time()
+      if (step + 1) % args.log_every == 0:
+        jax.block_until_ready(loss)
+        dt = time.time() - t_log
+        mean_loss = float(jnp.stack(losses).mean())
+        print(f'[train] step {step + 1}/{args.steps} '
+              f'loss={mean_loss:.4f} {args.log_every / dt:.2f} steps/s')
+        sink.log('train', step + 1, loss=mean_loss,
+                 steps_per_sec=args.log_every / dt)
+        losses = []
+        t_log = time.time()
 
-    if manager is not None and (step + 1) % args.save_every == 0:
-      sync_functional_state()
-      ckpt_lib.save(manager, step, wrapped, optimizer)
+      if manager is not None and (step + 1) % args.save_every == 0:
+        sync_functional_state()
+        ckpt_lib.save(manager, step, wrapped, optimizer)
 
-    if args.do_sampling_eval and (step + 1) % args.eval_every == 0:
-      sync_functional_state()
-      w = source.sample(0)
-      frc = jnp.asarray(w.forcings)[None][None]  # [K=1, B=1, ...]
-      roll = (rollout_lib.sample_rollout if args.model == 'gencast'
-              else rollout_lib.predict_rollout)
-      preds = roll(
-          wrapped, jnp.asarray(w.inputs)[None], frc,
-          jax.random.fold_in(key, 10**9 + step))
-      rmse = float(jnp.sqrt(jnp.nanmean(
-          (preds[0, 0] - jnp.asarray(w.targets)) ** 2)))
-      print(f'[train] sampling eval rmse={rmse:.4f}')
-      sink.log('sampling_eval', step + 1, rmse=rmse)
-      if args.metrics_jsonl or args.wandb:
-        # Training-time triptych image (reference logs sampled images to
-        # wandb during training, train.py:336-403).
-        from gencast_tpu.training import plotting
-        d = model.denoiser if hasattr(model, 'denoiser') else model
-        var = d.target_layout.var_names[0]
-        ch = d.target_layout.var_channels(var)[0]
-        img_dir = os.path.dirname(args.metrics_jsonl) if args.metrics_jsonl \
-            else (args.ckpt_dir or '/tmp')
-        img = os.path.join(img_dir, f'eval_{var}_step{step + 1}.png')
-        plotting.plot_triptych(
-            np.asarray(preds[0, 0, :, :, ch]),
-            np.asarray(w.targets)[:, :, ch],
-            statics.grid_lat, statics.grid_lon, var, img)
-        sink.log_image('sampling_eval', step + 1, var, img)
+      if args.do_sampling_eval and (step + 1) % args.eval_every == 0:
+        sync_functional_state()
+        w = source.sample(0)
+        frc = jnp.asarray(w.forcings)[None][None]  # [K=1, B=1, ...]
+        roll = (rollout_lib.sample_rollout if args.model == 'gencast'
+                else rollout_lib.predict_rollout)
+        preds = roll(
+            wrapped, jnp.asarray(w.inputs)[None], frc,
+            jax.random.fold_in(key, 10**9 + step))
+        rmse = float(jnp.sqrt(jnp.nanmean(
+            (preds[0, 0] - jnp.asarray(w.targets)) ** 2)))
+        print(f'[train] sampling eval rmse={rmse:.4f}')
+        sink.log('sampling_eval', step + 1, rmse=rmse)
+        if args.metrics_jsonl or args.wandb:
+          # Training-time triptych image (reference logs sampled images to
+          # wandb during training, train.py:336-403).
+          from gencast_tpu.training import plotting
+          d = model.denoiser if hasattr(model, 'denoiser') else model
+          var = d.target_layout.var_names[0]
+          ch = d.target_layout.var_channels(var)[0]
+          img_dir = os.path.dirname(args.metrics_jsonl) if args.metrics_jsonl \
+              else (args.ckpt_dir or '/tmp')
+          img = os.path.join(img_dir, f'eval_{var}_step{step + 1}.png')
+          plotting.plot_triptych(
+              np.asarray(preds[0, 0, :, :, ch]),
+              np.asarray(w.targets)[:, :, ch],
+              statics.grid_lat, statics.grid_lon, var, img)
+          sink.log_image('sampling_eval', step + 1, var, img)
 
-  if args.prefetch > 0:
-    it.close()
+  finally:
+    if prefetcher is not None:
+      prefetcher.close()
   sync_functional_state()
   if manager is not None:
     ckpt_lib.save(manager, args.steps - 1, wrapped, optimizer)

@@ -81,23 +81,25 @@ def main(argv=None):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
   def run_mode(tag, batch_fn, n):
-    # Warmup (compile + first relay dispatches).
+    # Warmup (compile + first relay dispatches). NOTE: only a host scalar
+    # readback (float()) bounds wall time through the relay —
+    # block_until_ready acks before the dispatch completes (dev notes).
     for i in range(2):
       b = batch_fn()
       loss, _ = steps_lib.train_step(wrapped, optimizer, b['inputs'],
                                      b['targets'], b['forcings'],
                                      jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
+    float(loss)
     t0 = time.time()
     for i in range(n):
       b = batch_fn()
       loss, _ = steps_lib.train_step(wrapped, optimizer, b['inputs'],
                                      b['targets'], b['forcings'],
                                      jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(loss)
+    loss_val = float(loss)
     dt = (time.time() - t0) / n
     print(f'[ab] {tag}: {dt*1000:.0f} ms/step wall '
-          f'({1.0/dt:.2f} steps/s), loss={float(loss):.3f}')
+          f'({1.0/dt:.2f} steps/s), loss={loss_val:.3f}')
     return dt
 
   # C) device-resident baseline: host does nothing per step.

@@ -22,11 +22,10 @@ sections.
 import sys
 import time
 
-import flax.nnx as nnx
 import jax
 import jax.numpy as jnp
 
-from gencast_tpu import configs
+from gencast_tpu import configs, utils
 
 
 def probe():
@@ -43,28 +42,10 @@ def main():
   print(f'[ab] sampler batch={batch} spec={spec_name}', file=sys.stderr)
 
   probe()
-  t0 = time.time()
-  model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(0))
-  if spec.cast_bf16:
-    from gencast_tpu.models import casting
-    model = casting.Bfloat16Cast(model)
-  print(f'[ab] model build: {time.time()-t0:.1f}s', file=sys.stderr)
-  d = (model.predictor if hasattr(model, 'predictor') else model).denoiser
-  nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
-
-  inputs = jax.random.normal(
-      jax.random.PRNGKey(0),
-      (batch, nlat, nlon, d.input_layout.num_channels), jnp.float32)
-  forcings = jax.random.normal(
-      jax.random.PRNGKey(1),
-      (batch, nlat, nlon, d.forcing_layout.num_channels), jnp.float32)
-  key = jax.random.PRNGKey(2)
-  graphdef, state = nnx.split(model)
-
-  @jax.jit
-  def sample(state, inputs, forcings, k):
-    m = nnx.merge(graphdef, state)
-    return m.sample(inputs, forcings, k).sum()
+  fx = utils.sampler_fixture(
+      spec, batch=batch, log=lambda m: print(f'[ab] {m}', file=sys.stderr))
+  sample, state = fx.sample, fx.state
+  inputs, forcings, key = fx.inputs, fx.forcings, fx.key
 
   # float() readback, NOT block_until_ready: the relay acks readiness
   # without completing the dispatch (a block_until_ready-timed sampler

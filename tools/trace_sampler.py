@@ -11,7 +11,6 @@ trace_qdeg.parse for the perfetto timeline aggregation.
 import sys
 import time
 
-import flax.nnx as nnx
 import jax
 import jax.numpy as jnp
 
@@ -19,34 +18,16 @@ from tools.trace_qdeg import parse
 
 
 def run(outdir: str, spec_name: str = '1deg'):
-  from gencast_tpu import configs
-  from gencast_tpu.models import casting
+  from gencast_tpu import configs, utils
 
   x = jnp.ones((128, 128), jnp.float32)
   jax.block_until_ready(jnp.dot(x, x))
 
   spec = configs.SPECS[spec_name]
-  t0 = time.time()
-  model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(0))
-  if spec.cast_bf16:
-    model = casting.Bfloat16Cast(model)
-  print(f'[trace] model build: {time.time()-t0:.1f}s', file=sys.stderr)
-  d = (model.predictor if hasattr(model, 'predictor') else model).denoiser
-  nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
-
-  inputs = jax.random.normal(
-      jax.random.PRNGKey(0), (1, nlat, nlon, d.input_layout.num_channels),
-      jnp.float32)
-  forcings = jax.random.normal(
-      jax.random.PRNGKey(1), (1, nlat, nlon, d.forcing_layout.num_channels),
-      jnp.float32)
-  key = jax.random.PRNGKey(2)
-  graphdef, state = nnx.split(model)
-
-  @jax.jit
-  def sample(state, inputs, forcings, k):
-    m = nnx.merge(graphdef, state)
-    return m.sample(inputs, forcings, k).sum()
+  fx = utils.sampler_fixture(
+      spec, log=lambda m: print(f'[trace] {m}', file=sys.stderr))
+  sample, state = fx.sample, fx.state
+  inputs, forcings, key = fx.inputs, fx.forcings, fx.key
 
   # float() readbacks: the relay acks block_until_ready without
   # completing the dispatch; only a host scalar read bounds wall time.
