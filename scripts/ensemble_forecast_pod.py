@@ -2,14 +2,30 @@
 """Pod-scale ensemble forecast: 50 members x 30 steps over a TPU slice.
 
 Run with one process per TPU host (multi-host jax.distributed); members
-shard over the 'ensemble' mesh axis. On a v5e-64 this executes the
-BASELINE.md north-star workload.
+shard over the 'ensemble' mesh axis, any leftover device factor becomes
+tensor parallelism over 'model'. On a v5e-64 this executes the BASELINE.md
+north-star workload:
 
   python scripts/ensemble_forecast_pod.py --preset 1deg \
       --ckpt_dir /ckpt/1deg --data /data/era5 --members 50 --steps 30
+
+Member count need not match the device count: members are padded up to a
+multiple of the ensemble axis and run in chunks, each chunk one traced
+program (the padded members' samples are computed and discarded; every
+kept member's stream depends only on fold_in(key, member_id), so results
+are independent of the chunking/device count).
+
+On a real pod, jax.distributed.initialize() discovers the coordinator from
+the TPU environment. For a CPU stand-in (tests, laptops) pass --cpu N plus
+--coordinator/--process_id/--num_processes; tests/test_multihost.py drives
+this script as two actual processes.
+
+Reference role: the reference's ensemble path is single-process jax.pmap
+(common/rollout.py:78-202) with no multi-host story (SURVEY §2.3).
 """
 
 import argparse
+import math
 import os
 import sys
 import time
@@ -17,7 +33,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def parse_args():
   p = argparse.ArgumentParser()
   p.add_argument('--preset', default='1deg')
   p.add_argument('--data', default='synthetic')
@@ -27,14 +43,38 @@ def main():
   p.add_argument('--out', default='/tmp/forecast.npz')
   p.add_argument('--multihost', action='store_true',
                  help='initialize jax.distributed (one process per host)')
-  args = p.parse_args()
+  p.add_argument('--coordinator', default=None,
+                 help='coordinator address for --multihost (default: '
+                      'auto-discover from the TPU environment)')
+  p.add_argument('--process_id', type=int, default=None)
+  p.add_argument('--num_processes', type=int, default=None)
+  p.add_argument('--cpu', type=int, default=0, metavar='N',
+                 help='CPU stand-in with N local virtual devices '
+                      '(testing; must be set before jax initializes)')
+  return p.parse_args()
 
+
+def main():
+  args = parse_args()
+  if args.cpu:
+    # Must precede the jax import; the in-Python config update below is
+    # also required where sitecustomize forces a TPU platform.
+    flags = [f for f in os.environ.get('XLA_FLAGS', '').split()
+             if not f.startswith('--xla_force_host_platform_device_count')]
+    os.environ['XLA_FLAGS'] = ' '.join(
+        [f'--xla_force_host_platform_device_count={args.cpu}'] + flags)
+    os.environ['JAX_PLATFORMS'] = 'cpu'
   import jax
+  if args.cpu:
+    jax.config.update('jax_platforms', 'cpu')
   if args.multihost:
-    jax.distributed.initialize()
+    if args.coordinator is not None:
+      jax.distributed.initialize(args.coordinator, args.num_processes,
+                                 args.process_id)
+    else:
+      jax.distributed.initialize()
 
   import flax.nnx as nnx
-  import jax.numpy as jnp
   import numpy as np
 
   from gencast_tpu import configs
@@ -44,12 +84,17 @@ def main():
   from gencast_tpu.training import checkpoint as ckpt_lib
   from gencast_tpu.training.train import build_spec
 
-  n_dev = len(jax.devices())
-  ens_axis = min(args.members, n_dev)
+  n_dev = jax.device_count()
+  # Ensemble gets the largest device-count divisor that member count can
+  # fill; the leftover factor becomes tensor parallelism over 'model'
+  # (e.g. 64 devices / 50 members -> ensemble=32, model=2, two chunks).
+  ens_axis = max(d for d in range(1, n_dev + 1)
+                 if n_dev % d == 0 and d <= max(1, args.members))
   mesh = meshes.make_mesh(ensemble=ens_axis, data=1,
                           model=n_dev // ens_axis)
-  print(f'[forecast] {n_dev} devices, mesh ensemble={ens_axis} '
-        f'model={n_dev // ens_axis}')
+  print(f'[forecast] {jax.process_count()} proc x '
+        f'{jax.local_device_count()} local = {n_dev} devices, '
+        f'mesh ensemble={ens_axis} model={n_dev // ens_axis}', flush=True)
 
   class _A:  # build_spec expects argparse-like fields
     preset = args.preset
@@ -64,30 +109,72 @@ def main():
             if args.data == 'synthetic'
             else sources.Era5NpzSource(args.data, task))
   stats = sources.compute_stats(source)
-  wrapped = wrappers.InputsAndResiduals(model, stats)
+  # Wrapper stack mirrors train.py/evaluate.py (Bfloat16Cast innermost,
+  # InputsAndResiduals outermost) so checkpoint state trees line up.
+  wrapped = model
+  if spec.cast_bf16:
+    from gencast_tpu.models import casting
+    wrapped = casting.Bfloat16Cast(wrapped)
+  wrapped = wrappers.InputsAndResiduals(wrapped, stats)
   if args.ckpt_dir:
     manager = ckpt_lib.create_manager(args.ckpt_dir)
     step = ckpt_lib.restore(manager, wrapped)
-    print(f'[forecast] restored step {step}')
+    print(f'[forecast] restored step {step}', flush=True)
 
+  # Host values are process-identical; device_put onto mesh-spanning
+  # shardings is the multi-process-safe placement path (each process
+  # contributes its addressable shards).
   meshes.shard_model(wrapped, mesh)
   w = source.sample(0, num_target_frames=args.steps)
-  inputs = jnp.asarray(w.inputs)[None]
-  forcings = jnp.asarray(w.forcings)[:, None]
+  repl = meshes.replicated(mesh)
+  inputs = jax.device_put(np.asarray(w.inputs)[None], repl)
+  forcings = jax.device_put(np.asarray(w.forcings)[:, None], repl)
+
+  # Member keys are folded once from the global key; chunking over the
+  # ensemble axis never changes any member's stream.
+  padded = math.ceil(args.members / ens_axis) * ens_axis
+  mkeys = ensemble.member_keys(jax.random.PRNGKey(0), padded)
 
   t0 = time.time()
-  out = ensemble.ensemble_rollout(wrapped, inputs, forcings,
-                                  jax.random.PRNGKey(0),
-                                  num_members=args.members, mesh=mesh)
-  out.block_until_ready()
+  kept = {}  # global member id -> np.ndarray [K, B, lat, lon, C]
+  for lo in range(0, padded, ens_axis):
+    out = ensemble.ensemble_rollout(wrapped, inputs, forcings,
+                                    jax.random.PRNGKey(0),
+                                    num_members=ens_axis, mesh=mesh,
+                                    keys=mkeys[lo:lo + ens_axis])
+    # [ens_axis, K, B, lat, lon, C], member axis sharded over 'ensemble'.
+    # Under multi-process the global array is not fully addressable on
+    # any one host: save each process's own shards (dedup the 'model'-
+    # axis replicas by member range).
+    seen = set()
+    for shard in out.addressable_shards:
+      mem_slice = shard.index[0]
+      start = mem_slice.start or 0
+      if start in seen:
+        continue
+      seen.add(start)
+      data = np.asarray(shard.data)
+      for j in range(data.shape[0]):
+        member = lo + start + j
+        if member < args.members:
+          kept[member] = data[j]
+  # np.asarray(shard.data) above already forced host readback, so the
+  # wall time covers this process's compute.
   dt = time.time() - t0
   print(f'[forecast] {args.members} members x {args.steps} steps: '
-        f'{dt:.1f}s wall (incl. compile)')
+        f'{dt:.1f}s wall (incl. compile), '
+        f'{args.members / dt:.2f} members/s', flush=True)
 
-  if jax.process_index() == 0:
-    np.savez(args.out, predictions=np.asarray(out),
-             lat=statics.grid_lat, lon=statics.grid_lon)
-    print(f'[forecast] saved to {args.out}')
+  ids = np.array(sorted(kept), dtype=np.int32)
+  preds = np.stack([kept[i] for i in ids]) if len(ids) else np.zeros((0,))
+  out_path = args.out
+  if jax.process_count() > 1:
+    base, ext = os.path.splitext(args.out)
+    out_path = f'{base}.p{jax.process_index()}{ext}'
+  np.savez(out_path, predictions=preds, members=ids,
+           lat=statics.grid_lat, lon=statics.grid_lon)
+  print(f'[forecast] saved members {ids.tolist()} to {out_path}',
+        flush=True)
 
 
 if __name__ == '__main__':

@@ -17,10 +17,12 @@ import socket
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO, 'tools', 'multihost_smoke.py')
+POD_SCRIPT = os.path.join(REPO, 'scripts', 'ensemble_forecast_pod.py')
 
 
 def _free_port() -> int:
@@ -62,3 +64,60 @@ def test_two_process_train_and_ensemble():
   # placement, batch sharding, and collectives agree across the boundary.
   vals = {line.split(' ', 1)[1].split('/', 1)[1] for line in oks}
   assert len(vals) == 1, oks
+
+
+@pytest.mark.slow
+def test_pod_forecast_script_two_process(tmp_path):
+  """Drives the PRODUCTION pod CLI (scripts/ensemble_forecast_pod.py) as
+  two real processes and checks member-stream invariance: the same member
+  keys must give the same forecast regardless of process count, mesh
+  model-factor, or padding chunks (member 3 is padding here: 3 members on
+  an ensemble=2 axis). This is the deliverable the v5e-64 north star runs.
+  """
+  env = {k: v for k, v in os.environ.items() if k != 'XLA_FLAGS'}
+  common = [sys.executable, POD_SCRIPT, '--preset', 'tiny', '--cpu', '2',
+            '--members', '3', '--steps', '2']
+
+  sp_out = str(tmp_path / 'sp.npz')
+  r = subprocess.run(common + ['--out', sp_out], capture_output=True,
+                     text=True, env=env, cwd=REPO, timeout=600)
+  assert r.returncode == 0, r.stdout + r.stderr
+
+  port = _free_port()
+  mh_out = str(tmp_path / 'mh.npz')
+  procs = [
+      subprocess.Popen(
+          common + ['--out', mh_out, '--multihost',
+                    '--coordinator', f'localhost:{port}',
+                    '--process_id', str(i), '--num_processes', '2'],
+          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+          text=True, env=env, cwd=REPO)
+      for i in range(2)
+  ]
+  outs = []
+  for p in procs:
+    try:
+      out, _ = p.communicate(timeout=600)
+    except subprocess.TimeoutExpired:
+      for q in procs:
+        q.kill()
+      raise
+    outs.append(out)
+  for i, (p, out) in enumerate(zip(procs, outs)):
+    assert p.returncode == 0, f'process {i} failed:\n{out}'
+
+  sp = np.load(sp_out)
+  mh = {}
+  for i in range(2):
+    f = np.load(str(tmp_path / f'mh.p{i}.npz'))
+    for m, pred in zip(f['members'], f['predictions']):
+      mh[int(m)] = pred
+  # Union of the per-process saves covers exactly the requested members.
+  assert sorted(mh) == [0, 1, 2]
+  for i, m in enumerate(sp['members']):
+    a, b = sp['predictions'][i], mh[int(m)]
+    assert a.shape == b.shape
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    # f32 reduction-order noise from the model=2 tensor sharding only.
+    assert rel < 1e-5, (int(m), rel)
