@@ -171,18 +171,23 @@ def build_graphcast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
                     cache_dir: Optional[str] = DEFAULT_CACHE_DIR):
   """Builds a GraphCast deterministic model from a ModelSpec.
 
-  A GenCast-family spec task is converted to the GraphCast variable set
-  (adds precipitation + TISR forcing) keeping its pressure levels; a task
-  that already carries the TISR forcing (graphcast_13 / graphcast_37 /
-  graphcast_13_precip_out from the registry) is used as-is. num_layers is
-  interpreted as gnn_msg_steps (reference default 16).
+  The registry's GenCast tasks are converted to the GraphCast variable set
+  (adds precipitation + TISR forcing) keeping their pressure levels — the
+  presets all carry GenCast tasks, and "train GraphCast at preset X" means
+  the GraphCast variable conversion, not GenCast's variables through a GNN.
+  Any other task (graphcast_13 / graphcast_37 / graphcast_13_precip_out or
+  user-built) is used exactly as given. num_layers is interpreted as
+  gnn_msg_steps (reference default 16).
   """
   from gencast_tpu.models.graphcast import GraphCast, GraphCastConfig
-  if 'toa_incident_solar_radiation' in spec.task.forcing_variables:
-    task = spec.task
-  else:
+  gencast_families = {
+      dataclasses.replace(t, pressure_levels=())
+      for t in (registry.GENCAST_TASK, registry.GENCAST_TASK_FULL)}
+  if dataclasses.replace(spec.task, pressure_levels=()) in gencast_families:
     task = dataclasses.replace(registry.GRAPHCAST_TASK_13,
                                pressure_levels=spec.task.pressure_levels)
+  else:
+    task = spec.task
   spec = dataclasses.replace(spec, task=task)
   if statics is None:
     lat, lon = grid_for_resolution(spec.resolution_deg)

@@ -92,20 +92,26 @@ class GraphCast(nnx.Module):
       # The reference threads this factor into the m2g spatial-feature
       # normalization instead of the default max-edge-length
       # (graphcast/graphcast.py:327-328,583 -> common/model_utils.py:485-494).
-      # GraphStatics stores max-length-normalized features, so recompute
-      # them host-side with the explicit factor (cheap: one numpy pass
-      # over ~3 edges per grid node).
+      # GraphStatics stores [length, rel]/max_edge_length
+      # (graph/features.py:109-112), so a custom factor is an exact
+      # rescale by max_edge_length/factor. The receiver-local rotation
+      # preserves norms, so max_edge_length needs only the edge endpoint
+      # xyz positions — one cheap [E] numpy pass, not the [E,3,3]
+      # rotation-table rebuild.
       import numpy as np
       from gencast_tpu.graph import features as features_lib
       grid_mesh_lon, grid_mesh_lat = np.meshgrid(statics.grid_lon,
                                                  statics.grid_lat)
-      m2g_feats = features_lib.edge_features(
-          statics.mesh_lat, statics.mesh_lon, statics.mesh2grid.senders,
+      s_pos = features_lib.spherical_to_xyz(*features_lib.lat_lon_to_spherical(
+          statics.mesh_lat, statics.mesh_lon))
+      r_pos = features_lib.spherical_to_xyz(*features_lib.lat_lon_to_spherical(
           grid_mesh_lat.reshape(-1).astype(np.float32),
-          grid_mesh_lon.reshape(-1).astype(np.float32),
-          statics.mesh2grid.receivers,
-          normalization_factor=cfg.mesh2grid_edge_normalization_factor,
-      ).features
+          grid_mesh_lon.reshape(-1).astype(np.float32)))
+      max_len = float(np.linalg.norm(
+          s_pos[statics.mesh2grid.senders]
+          - r_pos[statics.mesh2grid.receivers], axis=-1).max())
+      m2g_feats = (m2g_feats * np.float32(
+          max_len / cfg.mesh2grid_edge_normalization_factor))
     self.m2g_edge_feats = StaticData(jnp.asarray(m2g_feats))
 
     num_nodes = {'grid': statics.num_grid_nodes,

@@ -191,3 +191,32 @@ class NaNCleaner(nnx.Module):
         self._clean(inputs, 'inputs'), self._clean(targets, 'targets'),
         self._clean(forcings, 'forcings'), key)
     return (loss, diags), self._reintroduce(inputs, preds)
+
+
+def build_stack(model: nnx.Module, stats, *, bf16: bool,
+                clean_sst_nans: bool = False,
+                normalize: bool = True) -> nnx.Module:
+  """Assembles the canonical production wrapper stack.
+
+  Order (reference: NaNCleaner inside normalization, train.py:170-175;
+  Bfloat16Cast innermost): Bfloat16Cast -> NaNCleaner ->
+  InputsAndResiduals. Checkpoint state trees depend on this nesting, so
+  every CLI (train / evaluate / pod forecast) must assemble through here
+  with the same flags it trained with.
+
+  NaNCleaner sits INSIDE InputsAndResiduals and therefore sees normalized
+  data: the fill is 0.0 (= the raw-space mean); only with normalize=False
+  does the raw mean apply.
+  """
+  task = model.task  # GenCast and GraphCast both carry the TaskSpec
+  wrapped = model
+  if bf16:
+    from gencast_tpu.models import casting
+    wrapped = casting.Bfloat16Cast(wrapped)
+  if clean_sst_nans and 'sea_surface_temperature' in task.input_variables:
+    fill = (0.0 if normalize
+            else float(np.asarray(stats.mean['sea_surface_temperature'])))
+    wrapped = NaNCleaner(wrapped, 'sea_surface_temperature', fill)
+  if normalize:
+    wrapped = InputsAndResiduals(wrapped, stats)
+  return wrapped

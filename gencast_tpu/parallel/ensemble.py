@@ -21,24 +21,16 @@ def member_keys(key: jax.Array, num_members: int) -> jax.Array:
       jnp.arange(num_members))
 
 
-def ensemble_rollout(model: nnx.Module,
-                     inputs: jnp.ndarray,        # [B, lat, lon, C_in]
-                     forcings: jnp.ndarray,      # [K, B, lat, lon, C_frc]
-                     key: jax.Array,
-                     num_members: int,
-                     mesh: Optional[Mesh] = None,
-                     teacher_targets: Optional[jnp.ndarray] = None,
-                     keys: Optional[jax.Array] = None) -> jnp.ndarray:
-  """The GenCast production workload: a K-step autoregressive ensemble
-  forecast, members sharded over the 'ensemble' mesh axis.
+def make_ensemble_rollout(model: nnx.Module,
+                          mesh: Optional[Mesh] = None,
+                          teacher_targets: Optional[jnp.ndarray] = None):
+  """Builds the jitted ensemble-rollout callable once.
 
-  Each member runs its own fused rollout scan (sampler scan nested inside);
-  there is no cross-member communication until the caller reduces over the
-  member axis. Returns [M, K, B, lat, lon, C_tgt].
-
-  keys overrides the internal member_keys(key, num_members): member-chunked
-  callers pass slices of one global member_keys split, so chunking over
-  members never changes any member's sample stream.
+  Returns fn(inputs, forcings, keys) -> [M, K, B, lat, lon, C_tgt].
+  Member-chunked callers (evaluate --member_chunk, the pod forecast CLI)
+  must reuse ONE returned callable across chunks: jax's jit cache keys on
+  the function object, so calling ensemble_rollout per chunk re-traces
+  and re-compiles the full rollout program every chunk.
   """
   from gencast_tpu import rollout as rollout_lib
   d = rollout_lib._find_layouts(model)
@@ -46,10 +38,6 @@ def ensemble_rollout(model: nnx.Module,
   maps = layout_lib.rollout_maps(d.input_layout, d.target_layout,
                                  d.forcing_layout)
   graphdef, state = nnx.split(model)
-  if keys is None:
-    keys = member_keys(key, num_members)
-  if mesh is not None:
-    keys = jax.device_put(keys, NamedSharding(mesh, P('ensemble')))
 
   @jax.jit
   def run(state, inputs, forcings, keys):
@@ -68,7 +56,38 @@ def ensemble_rollout(model: nnx.Module,
           out, NamedSharding(mesh, P('ensemble')))
     return out
 
-  return run(state, inputs, forcings, keys)
+  def call(inputs, forcings, keys):
+    if mesh is not None:
+      keys = jax.device_put(keys, NamedSharding(mesh, P('ensemble')))
+    return run(state, inputs, forcings, keys)
+
+  return call
+
+
+def ensemble_rollout(model: nnx.Module,
+                     inputs: jnp.ndarray,        # [B, lat, lon, C_in]
+                     forcings: jnp.ndarray,      # [K, B, lat, lon, C_frc]
+                     key: jax.Array,
+                     num_members: int,
+                     mesh: Optional[Mesh] = None,
+                     teacher_targets: Optional[jnp.ndarray] = None,
+                     keys: Optional[jax.Array] = None) -> jnp.ndarray:
+  """The GenCast production workload: a K-step autoregressive ensemble
+  forecast, members sharded over the 'ensemble' mesh axis.
+
+  Each member runs its own fused rollout scan (sampler scan nested inside);
+  there is no cross-member communication until the caller reduces over the
+  member axis. Returns [M, K, B, lat, lon, C_tgt].
+
+  keys overrides the internal member_keys(key, num_members): member-chunked
+  callers pass slices of one global member_keys split, so chunking over
+  members never changes any member's sample stream. Chunked callers should
+  use make_ensemble_rollout directly (one trace for all chunks).
+  """
+  if keys is None:
+    keys = member_keys(key, num_members)
+  return make_ensemble_rollout(model, mesh, teacher_targets)(
+      inputs, forcings, keys)
 
 
 def ensemble_statistics(members: jnp.ndarray,

@@ -117,23 +117,14 @@ def main(argv=None):
   else:
     stats = sources.compute_stats(source)
 
-  # Wrapper stack mirrors train.py: Bfloat16Cast innermost, NaNCleaner,
-  # then InputsAndResiduals.
-  wrapped = model
-  if args.bf16 or (args.bf16 is None and spec.cast_bf16):
-    from gencast_tpu.models import casting
-    wrapped = casting.Bfloat16Cast(wrapped)
+  # Canonical wrapper stack, shared with train.py (checkpoint trees
+  # depend on the nesting).
+  bf16 = args.bf16 or (args.bf16 is None and spec.cast_bf16)
+  if bf16:
     print('[eval] bf16 compute enabled')
-  if args.clean_sst_nans and \
-      'sea_surface_temperature' in task.input_variables:
-    # NaNCleaner sits INSIDE InputsAndResiduals, so it sees normalized
-    # data: fill with 0.0 (= the raw-space mean). Only when normalization
-    # is disabled does the raw mean apply.
-    fill = (0.0 if not args.no_normalization
-            else float(np.asarray(stats.mean['sea_surface_temperature'])))
-    wrapped = wrappers.NaNCleaner(wrapped, 'sea_surface_temperature', fill)
-  if not args.no_normalization:
-    wrapped = wrappers.InputsAndResiduals(wrapped, stats)
+  wrapped = wrappers.build_stack(model, stats, bf16=bf16,
+                                 clean_sst_nans=args.clean_sst_nans,
+                                 normalize=not args.no_normalization)
 
   if args.ckpt_dir:
     manager = ckpt_lib.create_manager(args.ckpt_dir)
@@ -178,11 +169,12 @@ def main(argv=None):
                     overlap_offload=not args.no_overlap_offload)[None]
                 for i in range(args.num_members)]
     elif args.member_chunk:
+      # One jitted program reused across chunks (a fresh ensemble_rollout
+      # call per chunk would re-trace + re-compile each time).
       mc = args.member_chunk
-      groups = [np.asarray(ensemble_lib.ensemble_rollout(
-                    wrapped, inputs, forcings, key,
-                    num_members=min(mc, args.num_members - lo),
-                    teacher_targets=teacher, keys=mkeys[lo:lo + mc]))
+      run = ensemble_lib.make_ensemble_rollout(wrapped,
+                                               teacher_targets=teacher)
+      groups = [np.asarray(run(inputs, forcings, mkeys[lo:lo + mc]))
                 for lo in range(0, args.num_members, mc)]
     else:
       # All members in one traced program (vmapped over member keys).

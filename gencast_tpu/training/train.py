@@ -237,23 +237,13 @@ def main(argv=None):
       sources.save_stats(stats, args.stats_path)
       print(f'[train] computed and saved stats to {args.stats_path}')
 
-  # Wrapper stack (reference: NaNCleaner inside, InputsAndResiduals
-  # outside; Bfloat16Cast innermost).
-  wrapped = model
-  if args.bf16 or (args.bf16 is None and spec.cast_bf16):
-    from gencast_tpu.models import casting
-    wrapped = casting.Bfloat16Cast(wrapped)
+  # Canonical wrapper stack (checkpoint trees depend on the nesting).
+  bf16 = args.bf16 or (args.bf16 is None and spec.cast_bf16)
+  if bf16:
     print('[train] bf16 compute enabled (f32 master weights)')
-  if args.clean_sst_nans and \
-      'sea_surface_temperature' in task.input_variables:
-    # NaNCleaner sits INSIDE InputsAndResiduals, so it sees normalized
-    # data: fill with 0.0 (= the raw-space mean). Only when normalization
-    # is disabled does the raw mean apply.
-    fill = (0.0 if not args.no_normalization
-            else float(np.asarray(stats.mean['sea_surface_temperature'])))
-    wrapped = wrappers.NaNCleaner(wrapped, 'sea_surface_temperature', fill)
-  if not args.no_normalization:
-    wrapped = wrappers.InputsAndResiduals(wrapped, stats)
+  wrapped = wrappers.build_stack(model, stats, bf16=bf16,
+                                 clean_sst_nans=args.clean_sst_nans,
+                                 normalize=not args.no_normalization)
 
   # Parallelism.
   mesh = None

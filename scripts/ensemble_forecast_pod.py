@@ -43,6 +43,13 @@ def parse_args():
   p.add_argument('--out', default='/tmp/forecast.npz')
   p.add_argument('--multihost', action='store_true',
                  help='initialize jax.distributed (one process per host)')
+  p.add_argument('--bf16', action=argparse.BooleanOptionalAction,
+                 default=None,
+                 help='bf16 compute (default: the preset decides); must '
+                      'match how the checkpoint was trained')
+  p.add_argument('--clean_sst_nans', action='store_true',
+                 help='wrap with NaNCleaner, as in train.py; must match '
+                      'how the checkpoint was trained')
   p.add_argument('--coordinator', default=None,
                  help='coordinator address for --multihost (default: '
                       'auto-discover from the TPU environment)')
@@ -59,10 +66,8 @@ def main():
   if args.cpu:
     # Must precede the jax import; the in-Python config update below is
     # also required where sitecustomize forces a TPU platform.
-    flags = [f for f in os.environ.get('XLA_FLAGS', '').split()
-             if not f.startswith('--xla_force_host_platform_device_count')]
-    os.environ['XLA_FLAGS'] = ' '.join(
-        [f'--xla_force_host_platform_device_count={args.cpu}'] + flags)
+    from tools.xla_flags import force_host_device_count
+    force_host_device_count(args.cpu)
     os.environ['JAX_PLATFORMS'] = 'cpu'
   import jax
   if args.cpu:
@@ -109,13 +114,12 @@ def main():
             if args.data == 'synthetic'
             else sources.Era5NpzSource(args.data, task))
   stats = sources.compute_stats(source)
-  # Wrapper stack mirrors train.py/evaluate.py (Bfloat16Cast innermost,
-  # InputsAndResiduals outermost) so checkpoint state trees line up.
-  wrapped = model
-  if spec.cast_bf16:
-    from gencast_tpu.models import casting
-    wrapped = casting.Bfloat16Cast(wrapped)
-  wrapped = wrappers.InputsAndResiduals(wrapped, stats)
+  # Canonical wrapper stack, shared with train.py/evaluate.py: checkpoint
+  # state trees depend on the nesting, so the flags must mirror training.
+  wrapped = wrappers.build_stack(
+      model, stats,
+      bf16=args.bf16 or (args.bf16 is None and spec.cast_bf16),
+      clean_sst_nans=args.clean_sst_nans)
   if args.ckpt_dir:
     manager = ckpt_lib.create_manager(args.ckpt_dir)
     step = ckpt_lib.restore(manager, wrapped)
@@ -137,11 +141,10 @@ def main():
 
   t0 = time.time()
   kept = {}  # global member id -> np.ndarray [K, B, lat, lon, C]
+  # One jitted program for every chunk (same chunk shape by construction).
+  run = ensemble.make_ensemble_rollout(wrapped, mesh=mesh)
   for lo in range(0, padded, ens_axis):
-    out = ensemble.ensemble_rollout(wrapped, inputs, forcings,
-                                    jax.random.PRNGKey(0),
-                                    num_members=ens_axis, mesh=mesh,
-                                    keys=mkeys[lo:lo + ens_axis])
+    out = run(inputs, forcings, mkeys[lo:lo + ens_axis])
     # [ens_axis, K, B, lat, lon, C], member axis sharded over 'ensemble'.
     # Under multi-process the global array is not fully addressable on
     # any one host: save each process's own shards (dedup the 'model'-

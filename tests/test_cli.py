@@ -35,7 +35,14 @@ def test_train_and_evaluate_cycle(tmp_path, model):
   assert 'rmse' in metrics and metrics['steps'] == 2
   assert os.path.exists(os.path.join(out, 'rollout.npz'))
   assert os.path.exists(os.path.join(out, 'triptych_2m_temperature.png'))
-  assert os.path.exists(os.path.join(out, 'rollout.nc'))
+  # NetCDF export is designed to skip gracefully without h5py
+  # (test_netcdf_writer pins that path); only assert where it can write.
+  try:
+    import h5py  # noqa: F401
+  except ImportError:
+    pass
+  else:
+    assert os.path.exists(os.path.join(out, 'rollout.nc'))
 
 
 @pytest.mark.slow

@@ -28,7 +28,7 @@ from gencast_tpu.training import steps
 def probe():
   t0 = time.time()
   x = jnp.ones((128, 128), jnp.float32)
-  jax.block_until_ready(jnp.dot(x, x))
+  float(jnp.dot(x, x).sum())  # scalar readback: block_until_ready is a relay no-op
   print(f'[probe] relay up in {time.time()-t0:.1f}s', file=sys.stderr)
 
 
@@ -69,8 +69,8 @@ def main():
 
   t0 = time.time()
   state, loss, _ = step_fn(state, inputs, targets, forcings, key)
-  jax.block_until_ready(loss)
-  print(f'[ab] compile+run: {time.time()-t0:.1f}s loss={float(loss):.3f}',
+  loss_val = float(loss)  # scalar readback bounds the relay dispatch
+  print(f'[ab] compile+run: {time.time()-t0:.1f}s loss={loss_val:.3f}',
         file=sys.stderr)
   try:
     ms = jax.local_devices()[0].memory_stats()
@@ -84,7 +84,7 @@ def main():
     t0 = time.time()
     state, loss, _ = step_fn(state, inputs, targets, forcings,
                              jax.random.fold_in(key, i + 1))
-    jax.block_until_ready(loss)
+    float(loss)  # scalar readback: block_until_ready is a relay no-op
     ts.append(time.time() - t0)
     print(f'[ab] step {i}: {ts[-1]:.3f}s', file=sys.stderr)
   print(f'RESULT variant={variant} min={min(ts):.3f}s all={ts}')

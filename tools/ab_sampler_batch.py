@@ -31,7 +31,7 @@ from gencast_tpu import configs, utils
 def probe():
   t0 = time.time()
   x = jnp.ones((128, 128), jnp.float32)
-  jax.block_until_ready(jnp.dot(x, x))
+  float(jnp.dot(x, x).sum())  # scalar readback: block_until_ready is a relay no-op
   print(f'[probe] relay up in {time.time()-t0:.1f}s', file=sys.stderr)
 
 

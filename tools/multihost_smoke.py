@@ -39,8 +39,8 @@ LOCAL_DEVICES = 2  # per process
 def main(proc: int, num_procs: int, port: int = 29781) -> None:
   # Env must be set before jax import; sitecustomize forces the TPU relay
   # platform, so the in-Python config update below is also required.
-  os.environ['XLA_FLAGS'] = (
-      f'--xla_force_host_platform_device_count={LOCAL_DEVICES}')
+  from tools.xla_flags import force_host_device_count
+  force_host_device_count(LOCAL_DEVICES)
   os.environ['JAX_PLATFORMS'] = 'cpu'
   import jax
   jax.config.update('jax_platforms', 'cpu')

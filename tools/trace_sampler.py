@@ -21,7 +21,7 @@ def run(outdir: str, spec_name: str = '1deg'):
   from gencast_tpu import configs, utils
 
   x = jnp.ones((128, 128), jnp.float32)
-  jax.block_until_ready(jnp.dot(x, x))
+  float(jnp.dot(x, x).sum())  # scalar readback: block_until_ready is a relay no-op
 
   spec = configs.SPECS[spec_name]
   fx = utils.sampler_fixture(
