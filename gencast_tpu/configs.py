@@ -57,6 +57,10 @@ class ModelSpec:
   # Scatter-free GNN aggregation plans (DenoiserConfig.use_agg_plans):
   # profiled win at 1 degree+; pointless at nano edge counts.
   use_agg_plans: bool = False
+  # lax.scan unroll factor for the transformer layer stack (see
+  # TransformerConfig.scan_unroll); >1 trades compile time for cross-layer
+  # fusion. A/B'd on the real chip via tools/ab_scan_unroll.py.
+  scan_unroll: int = 1
   # Tile size for the block-sparse flash attention plan (pallas backend
   # only). Swept on the real chip per mask (tools/sweep_attention_tiles.py,
   # bf16, ms/layer fwd / fwd+bwd):
@@ -227,7 +231,8 @@ def build_gencast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
       num_heads=spec.num_heads, attention_type=spec.attention_type,
       ffw_hidden=spec.ffw_hidden,
       use_gradient_checkpointing=spec.use_gradient_checkpointing,
-      remat_policy=spec.remat_policy)
+      remat_policy=spec.remat_policy,
+      scan_unroll=spec.scan_unroll)
   model = GenCast(
       spec.task, statics, transformer,
       denoiser_config=DenoiserConfig(latent_size=spec.d_model,

@@ -54,6 +54,11 @@ class TransformerConfig:
   attn_winit_final_mult: float = 0.0
   use_gradient_checkpointing: bool = False
   scan_layers: bool = True
+  # lax.scan unroll factor for the layer stack: >1 inlines that many
+  # blocks per loop iteration, letting XLA fuse across layer boundaries
+  # (residual add into the next LN) at the cost of a proportionally
+  # larger program / compile time. Must divide num_layers.
+  scan_unroll: int = 1
   # Remat scope when use_gradient_checkpointing is on:
   #   'full'           — recompute the whole block in the backward (lowest
   #                      memory; the attention forward runs twice).
@@ -423,7 +428,8 @@ class MeshTransformer(nnx.Module):
           return block(carry, cond, attn_args).astype(carry.dtype), None
         if remat:
           body = jax.checkpoint(body)
-      x, _ = jax.lax.scan(body, x, stacked_state)
+      x, _ = jax.lax.scan(body, x, stacked_state,
+                          unroll=self.cfg.scan_unroll)
     else:
       for block in self.blocks:
         if (self.cfg.use_gradient_checkpointing
