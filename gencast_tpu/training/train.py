@@ -94,6 +94,19 @@ def parse_args(argv=None):
   # Parallelism (data axis; model/ensemble used by larger deployments).
   p.add_argument('--dp', type=int, default=1)
   p.add_argument('--mp', type=int, default=1)
+  # Multi-host (one process per TPU-VM host). On a real pod
+  # jax.distributed.initialize() discovers the coordinator from the TPU
+  # environment; the explicit flags are the CPU stand-in used by
+  # tests/test_multihost.py.
+  p.add_argument('--multihost', action='store_true',
+                 help='initialize jax.distributed (one process per host); '
+                      'the mesh spans all hosts')
+  p.add_argument('--coordinator', default=None)
+  p.add_argument('--process_id', type=int, default=None)
+  p.add_argument('--num_processes', type=int, default=None)
+  p.add_argument('--cpu', type=int, default=0, metavar='N',
+                 help='CPU stand-in with N local virtual devices (testing; '
+                      'must be the first jax use in the process)')
   return p.parse_args(argv)
 
 
@@ -187,9 +200,25 @@ def _run_fused(args, source, wrapped, optimizer, manager, sink, start_step):
 def main(argv=None):
   args = parse_args(argv)
 
+  if args.cpu:
+    # Honored only if the backend has not initialized yet in this process.
+    from tools.xla_flags import force_host_device_count
+    force_host_device_count(args.cpu)
+
   import flax.nnx as nnx
   import jax
   import jax.numpy as jnp
+
+  if args.cpu:
+    jax.config.update('jax_platforms', 'cpu')
+  if args.multihost:
+    if args.coordinator is not None:
+      jax.distributed.initialize(args.coordinator, args.num_processes,
+                                 args.process_id)
+    else:
+      jax.distributed.initialize()
+    print(f'[train] multihost: process {jax.process_index()}'
+          f'/{jax.process_count()}, {jax.device_count()} global devices')
 
   from gencast_tpu import configs
   from gencast_tpu.data import sources
@@ -233,7 +262,7 @@ def main(argv=None):
     print(f'[train] loaded stats from {args.stats_path}')
   else:
     stats = sources.compute_stats(source)
-    if args.stats_path:
+    if args.stats_path and jax.process_index() == 0:
       sources.save_stats(stats, args.stats_path)
       print(f'[train] computed and saved stats to {args.stats_path}')
 
@@ -245,9 +274,21 @@ def main(argv=None):
                                  clean_sst_nans=args.clean_sst_nans,
                                  normalize=not args.no_normalization)
 
-  # Parallelism.
+  # Parallelism. Under --multihost the mesh MUST span every global
+  # device: each process computing on its local devices alone would
+  # silently train divergent replicas.
+  if args.multihost and args.dp * args.mp == 1:
+    args.dp = jax.device_count()
+    print(f'[train] multihost: defaulting --dp to {args.dp}')
+  if args.multihost and args.dp * args.mp != jax.device_count():
+    raise SystemExit(f'[train] --multihost needs dp*mp == global device '
+                     f'count ({jax.device_count()}), got '
+                     f'{args.dp}x{args.mp}')
   mesh = None
   if args.dp * args.mp > 1:
+    if args.batch_size % args.dp:
+      raise SystemExit(f'[train] batch_size ({args.batch_size}) must be '
+                       f'divisible by dp ({args.dp})')
     mesh = meshes.make_mesh(1, args.dp, args.mp)
     meshes.shard_model(wrapped, mesh)
     print(f'[train] mesh: data={args.dp} model={args.mp}')
@@ -256,6 +297,12 @@ def main(argv=None):
       learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
       total_steps=args.steps, weight_decay=args.weight_decay)
   optimizer = steps_lib.create_optimizer(wrapped, opt_cfg)
+  if mesh is not None:
+    # Place optimizer state on the mesh as well: a freshly created state
+    # is uncommitted (jit re-places it), but checkpoint RESTORE uses it
+    # as the placement template — left on one device, the restored state
+    # is committed there and the first train step fails on mixed devices.
+    meshes.shard_model(optimizer, mesh)
 
   # Resume.
   start_step = 0
@@ -266,7 +313,19 @@ def main(argv=None):
       start_step = ckpt_lib.restore(manager, wrapped, optimizer) + 1
       print(f'[train] resumed from step {start_step - 1}')
 
+  if args.multihost and args.do_sampling_eval:
+    # The eval rollout mixes globally-sharded params with process-local
+    # inputs; run evaluate.py / the pod forecast CLI on a checkpoint
+    # instead.
+    print('[train] WARNING: --do_sampling_eval is disabled under '
+          '--multihost')
+    args.do_sampling_eval = False
+
   from gencast_tpu.training.metrics_sink import MetricsSink
+  # Host-side sinks write from process 0 only (every process computes
+  # the identical replicated loss).
+  if jax.process_index() != 0:
+    args.metrics_jsonl, args.wandb = None, False
   sink = MetricsSink(args.metrics_jsonl, use_wandb=args.wandb,
                      wandb_project=args.wandb_project,
                      run_config={'preset': spec.name, 'model': args.model,
@@ -332,11 +391,15 @@ def main(argv=None):
       return loss, diags
 
   def put(batch):
-    arrs = {k: jnp.asarray(v) for k, v in batch.items()}
     if mesh is not None:
+      # device_put straight from HOST values: every process packs the
+      # identical global batch (same source + seed) and contributes its
+      # addressable shards; a jnp.asarray first would commit to one local
+      # device, which cross-process shardings reject.
       sh = meshes.batch_sharding(mesh)
-      arrs = {k: jax.device_put(v, sh) for k, v in arrs.items()}
-    return arrs
+      return {k: jax.device_put(np.asarray(v), sh)
+              for k, v in batch.items()}
+    return {k: jnp.asarray(v) for k, v in batch.items()}
 
   n_prefetch = args.prefetch
   if n_prefetch is None:

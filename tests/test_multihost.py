@@ -121,3 +121,61 @@ def test_pod_forecast_script_two_process(tmp_path):
     rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
     # f32 reduction-order noise from the model=2 tensor sharding only.
     assert rel < 1e-5, (int(m), rel)
+
+
+@pytest.mark.slow
+def test_train_cli_two_process_with_resume(tmp_path):
+  """Drives the PRODUCTION train CLI (--multihost) as two real processes:
+  data-parallel training over a 2-proc x 2-device mesh with the
+  distributed orbax checkpoint, then a second two-process run that
+  resumes from it. Every process must report the identical replicated
+  loss, and the resumed run must continue from the saved step."""
+  ckpt = str(tmp_path / 'ckpt')
+
+  def run_pair(steps):
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != 'XLA_FLAGS'}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, '-m', 'gencast_tpu.training.train',
+             '--preset', 'tiny', '--data', 'synthetic',
+             '--steps', str(steps), '--log_every', '2',
+             '--batch_size', '4', '--cpu', '2', '--multihost',
+             '--coordinator', f'localhost:{port}',
+             '--process_id', str(i), '--num_processes', '2',
+             '--ckpt_dir', ckpt],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+      try:
+        out, _ = p.communicate(timeout=600)
+      except subprocess.TimeoutExpired:
+        for q in procs:
+          q.kill()
+        raise
+      outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+      assert p.returncode == 0, f'process {i} failed:\n{out}'
+    return outs
+
+  def loss_fields(out, tag='[train] step'):
+    # 'step K/N loss=X.XXXX S steps/s' -> ('step K/N', 'loss=X.XXXX');
+    # wall-clock steps/s legitimately differs per process.
+    return [tuple(ln.split()[1:4:2]) for ln in out.splitlines()
+            if tag in ln]
+
+  outs = run_pair(4)
+  # The replicated loss is identical on both processes (the psum'd
+  # data-parallel gradient path agrees across the process boundary).
+  losses = [loss_fields(out) for out in outs]
+  assert losses[0] and losses[0] == losses[1], losses
+  assert os.path.isdir(ckpt)
+
+  outs = run_pair(6)
+  for out in outs:
+    assert 'resumed from step 3' in out, out
+  losses = [loss_fields(out, '[train] step 6/6') for out in outs]
+  assert losses[0] and losses[0] == losses[1], losses
