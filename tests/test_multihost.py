@@ -179,3 +179,13 @@ def test_train_cli_two_process_with_resume(tmp_path):
     assert 'resumed from step 3' in out, out
   losses = [loss_fields(out, '[train] step 6/6') for out in outs]
   assert losses[0] and losses[0] == losses[1], losses
+
+  # Deployment-shape portability: the checkpoint written by distributed
+  # orbax from two processes restores in a plain single-process evaluate
+  # (same wrapper stack, no mesh).
+  from gencast_tpu.training import evaluate
+  out_dir = str(tmp_path / 'eval')
+  evaluate.main(['--preset', 'tiny', '--data', 'synthetic',
+                 '--ckpt_dir', ckpt, '--max_rollout_steps', '1',
+                 '--out_dir', out_dir, '--plot_vars'])
+  assert os.path.exists(os.path.join(out_dir, 'metrics.json'))
