@@ -42,7 +42,7 @@ emitted before. So when the relay has a slow day, what falls off the
 end is a sampler number, never the 0.25-degree train step (the round-2
 failure mode).
 Knobs:
-  BENCH_BUDGET_S   total wall-clock budget, seconds (default 620)
+  BENCH_BUDGET_S   total wall-clock budget, seconds (default 720)
   BENCH_SECTIONS   comma list from {tiny,nano,onedeg,qdeg,nano_sampler,
                    onedeg_sampler,onedeg_rollout30,graphcast,
                    tiny_rollout3,tiny_graphcast},
@@ -441,11 +441,12 @@ def main():
     _run_sections(section)
     return
 
-  # 620s: the measured warm full pass is ~480s incl. relay stalls; the
-  # trailing graphcast section adds ~40-90s warm. The parent still exits
-  # 0 at the deadline with whatever landed (the driver tolerated the
-  # ~1100s cold first pass in round 4).
-  budget = float(os.environ.get('BENCH_BUDGET_S', '620'))
+  # 720s: a rehearsed warm full pass landed the 7 GenCast metrics at
+  # ~590s including ~120s of relay stalls; the trailing graphcast
+  # section needs ~60s warm on top. The parent still exits 0 at the
+  # deadline with whatever landed (the driver tolerated the ~1100s cold
+  # first pass in round 4).
+  budget = float(os.environ.get('BENCH_BUDGET_S', '720'))
   names = os.environ.get(
       'BENCH_SECTIONS',
       'nano,onedeg,qdeg,nano_sampler,onedeg_sampler,onedeg_rollout30,'
