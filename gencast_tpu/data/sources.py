@@ -276,18 +276,30 @@ class Era5NpzSource(WindowedSource):
 
 def batch_iterator(source: WindowedSource, batch_size: int, *,
                    shuffle: bool = True, seed: int = 0,
-                   loop: bool = True) -> Iterator[Dict[str, np.ndarray]]:
-  """Yields dicts of stacked numpy batches: inputs/targets/forcings."""
+                   loop: bool = True,
+                   rows=None) -> Iterator[Dict[str, np.ndarray]]:
+  """Yields dicts of stacked numpy batches: inputs/targets/forcings.
+
+  rows: optional sequence of batch-row positions to materialize (multi-
+  host training: each process packs only the rows its devices own). The
+  global permutation stream is drawn identically regardless of rows, so
+  processes slicing different rows of the same seed see one consistent
+  global batch — and pay only their share of the host packing cost.
+  """
   rng = np.random.default_rng(seed)
   n = len(source)
   if n == 0 or batch_size > n:
     raise ValueError(
         f'source has {n} sample windows; cannot serve batch_size='
         f'{batch_size}')
+  if rows is not None:
+    rows = np.asarray(rows)
   while True:
     idx = rng.permutation(n) if shuffle else np.arange(n)
     for start in range(0, n - batch_size + 1, batch_size):
       sel = idx[start:start + batch_size]
+      if rows is not None:
+        sel = sel[rows]
       ws = [source.sample(int(i)) for i in sel]
       yield {
           'inputs': np.stack([w.inputs for w in ws]),

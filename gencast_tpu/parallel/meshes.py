@@ -84,3 +84,50 @@ def ensemble_batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
   return NamedSharding(mesh, P())
+
+
+def local_batch_plan(mesh: Mesh, batch_size: int):
+  """Per-process plan for assembling a P('data')-sharded batch from rows
+  packed locally (multi-host input sharding: each host materializes only
+  the batch rows its devices own instead of packing the global batch).
+
+  Returns (rows, blocks): rows — ascending global batch-row positions
+  this process must pack; blocks — (device, local_slice) per addressable
+  device, where local_slice indexes the LOCAL row array (devices that
+  replicate a data shard over other mesh axes map to the same rows).
+  """
+  sh = NamedSharding(mesh, P('data'))
+  smap = sh.devices_indices_map((batch_size,))
+  pid = jax.process_index()
+  local = [(d, s[0]) for d, s in smap.items() if d.process_index == pid]
+  spans = sorted({(s.start or 0,
+                   batch_size if s.stop is None else s.stop)
+                  for _, s in local})
+  rows = (np.concatenate([np.arange(a, b) for a, b in spans])
+          if spans else np.zeros((0,), np.int64))
+  offs = {}
+  lo = 0
+  for a, b in spans:
+    offs[a] = lo
+    lo += b - a
+  blocks = [(d, slice(offs[s.start or 0],
+                      offs[s.start or 0]
+                      + (batch_size if s.stop is None else s.stop)
+                      - (s.start or 0)))
+            for d, s in local]
+  return rows, blocks
+
+
+def assemble_local_batch(mesh: Mesh, batch_size: int, blocks, batch):
+  """Builds global P('data')-sharded arrays from this process's locally
+  packed rows (see local_batch_plan). Each device's shard is device_put
+  from the matching local block; the global array is assembled without
+  any cross-process data movement."""
+  sh = batch_sharding(mesh)
+  out = {}
+  for k, v in batch.items():
+    v = np.asarray(v)
+    gshape = (batch_size,) + v.shape[1:]
+    bufs = [jax.device_put(v[sl], d) for d, sl in blocks]
+    out[k] = jax.make_array_from_single_device_arrays(gshape, sh, bufs)
+  return out

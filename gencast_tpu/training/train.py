@@ -390,16 +390,34 @@ def main(argv=None):
       opt.update(m, grads)
       return loss, diags
 
-  def put(batch):
-    if mesh is not None:
-      # device_put straight from HOST values: every process packs the
-      # identical global batch (same source + seed) and contributes its
-      # addressable shards; a jnp.asarray first would commit to one local
-      # device, which cross-process shardings reject.
-      sh = meshes.batch_sharding(mesh)
-      return {k: jax.device_put(np.asarray(v), sh)
-              for k, v in batch.items()}
-    return {k: jnp.asarray(v) for k, v in batch.items()}
+  if mesh is not None and jax.process_count() > 1 and ar_steps == 1:
+    # Multi-host input sharding: every process draws the same global
+    # permutation but PACKS only the batch rows its own devices hold —
+    # the host-side packing cost per host divides by the host count
+    # (packing the full global batch on all hosts was measured at
+    # ~300 ms/step/host at 1 degree).
+    local_rows, local_blocks = meshes.local_batch_plan(mesh,
+                                                       args.batch_size)
+    it = sources.batch_iterator(source, args.batch_size, seed=args.seed,
+                                rows=local_rows)
+    print(f'[train] multihost input sharding: this process packs '
+          f'{len(local_rows)}/{args.batch_size} batch rows')
+
+    def put(batch):
+      return meshes.assemble_local_batch(mesh, args.batch_size,
+                                         local_blocks, batch)
+  else:
+    def put(batch):
+      if mesh is not None:
+        # device_put straight from HOST values: every process provides
+        # the identical global batch (same source + seed) and
+        # contributes its addressable shards; a jnp.asarray first would
+        # commit to one local device, which cross-process shardings
+        # reject.
+        sh = meshes.batch_sharding(mesh)
+        return {k: jax.device_put(np.asarray(v), sh)
+                for k, v in batch.items()}
+      return {k: jnp.asarray(v) for k, v in batch.items()}
 
   n_prefetch = args.prefetch
   if n_prefetch is None:

@@ -174,6 +174,20 @@ def test_train_cli_two_process_with_resume(tmp_path):
   assert losses[0] and losses[0] == losses[1], losses
   assert os.path.isdir(ckpt)
 
+  # Multi-host input sharding oracle: a SINGLE-process run on the same
+  # 4-device data mesh packs the global batch directly; the two-process
+  # run packs 2 rows per host and assembles per-device shards. Identical
+  # printed losses prove the local row -> device mapping is right.
+  env = {k: v for k, v in os.environ.items() if k != 'XLA_FLAGS'}
+  r = subprocess.run(
+      [sys.executable, '-m', 'gencast_tpu.training.train',
+       '--preset', 'tiny', '--data', 'synthetic', '--steps', '4',
+       '--log_every', '2', '--batch_size', '4', '--cpu', '4', '--dp', '4'],
+      capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+  assert r.returncode == 0, r.stdout + r.stderr
+  assert loss_fields(r.stdout) == losses[0], (loss_fields(r.stdout),
+                                              losses[0])
+
   outs = run_pair(6)
   for out in outs:
     assert 'resumed from step 3' in out, out
