@@ -344,7 +344,12 @@ def save_stats(stats: layout_lib.Stats, path: str) -> None:
                       ('diffs', stats.diffs_std)):
     for name, v in table.items():
       blob[f'{kind}:{name}'] = np.asarray(v)
-  np.savez(path, **blob)
+  # Atomic publish: on a shared filesystem other processes poll
+  # exists()+load (multi-host training), and a half-written zip would
+  # crash or silently truncate their stats.
+  tmp = f'{path}.{os.getpid()}.tmp.npz'  # .npz: savez appends it otherwise
+  np.savez(tmp, **blob)
+  os.replace(tmp, path)
 
 
 def load_stats(path: str) -> layout_lib.Stats:

@@ -333,7 +333,13 @@ def main(argv=None):
                                  'batch_size': args.batch_size,
                                  'lr': args.learning_rate})
 
-  it = sources.batch_iterator(source, args.batch_size, seed=args.seed)
+  if args.multihost and args.ar_steps > 1:
+    # The AR iterator yields [1, ...] / [K, B, ...] batches that the
+    # P('data') sharding cannot split across a forced dp=device_count
+    # mesh; fail clearly instead of crashing at the first device_put.
+    raise SystemExit('[train] --ar_steps > 1 is not supported under '
+                     '--multihost; train AR single-host or dp=1')
+
   key = jax.random.PRNGKey(args.seed)
 
   # Fused multi-step training: one dispatch per K steps (see
@@ -365,6 +371,8 @@ def main(argv=None):
     if fstate is not None:
       nnx.update((wrapped, optimizer), fstate)
 
+  # Exactly ONE live definition of the batch iterator per configuration
+  # (AR multi-frame windows / multihost local rows / default).
   ar_steps = args.ar_steps if args.model == 'graphcast' else 1
   if ar_steps > 1:
     # Multi-step AR training: samples provide K target/forcing frames.
@@ -407,6 +415,9 @@ def main(argv=None):
       return meshes.assemble_local_batch(mesh, args.batch_size,
                                          local_blocks, batch)
   else:
+    if ar_steps == 1:
+      it = sources.batch_iterator(source, args.batch_size, seed=args.seed)
+
     def put(batch):
       if mesh is not None:
         # device_put straight from HOST values: every process provides

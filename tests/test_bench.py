@@ -53,3 +53,16 @@ def test_bench_budget_guard_skips_gracefully():
   assert r.returncode == 0, f'STDOUT:\n{r.stdout}\nSTDERR:\n{r.stderr}'
   assert 'SKIP' in r.stderr, r.stderr
   assert not [l for l in r.stdout.splitlines() if l.startswith('{')]
+
+
+def test_bench_graphcast_section_runs_on_cpu():
+  """Pins the builder= plumbing through bench_model (build_graphcast +
+  find_layout_provider + GraphCast.loss through the chained train scan):
+  a breakage here would otherwise only surface as a silently-skipped
+  section in the next real-chip bench pass, costing a round's metric."""
+  r = _run('tiny_graphcast', budget='240', timeout=300)
+  assert r.returncode == 0, f'STDOUT:\n{r.stdout}\nSTDERR:\n{r.stderr}'
+  lines = [json.loads(l) for l in r.stdout.splitlines() if l.startswith('{')]
+  if 'deadline' not in r.stderr:
+    assert [m for m in lines
+            if m['metric'] == 'tiny_graphcast_train_step_ms'], r.stdout

@@ -162,9 +162,9 @@ def test_train_cli_two_process_with_resume(tmp_path):
     return outs
 
   def loss_fields(out, tag='[train] step'):
-    # 'step K/N loss=X.XXXX S steps/s' -> ('step K/N', 'loss=X.XXXX');
+    # '[train] step K/N loss=X.XXXX S steps/s' -> ('K/N', 'loss=X.XXXX');
     # wall-clock steps/s legitimately differs per process.
-    return [tuple(ln.split()[1:4:2]) for ln in out.splitlines()
+    return [tuple(ln.split()[2:4]) for ln in out.splitlines()
             if tag in ln]
 
   outs = run_pair(4)

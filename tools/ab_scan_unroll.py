@@ -67,9 +67,10 @@ def main():
     model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(0))
     if spec.cast_bf16:
       model = casting.Bfloat16Cast(model)
+    from gencast_tpu.models import wrappers
     opt = steps.create_optimizer(model, steps.OptimizerConfig())
     step_fn, state = steps.functional_train_step(model, opt)
-    d = (model.predictor if hasattr(model, 'predictor') else model).denoiser
+    d = wrappers.find_layout_provider(model)
     nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
 
     def arr(c, i):
@@ -82,26 +83,31 @@ def main():
     key = jax.random.PRNGKey(0)
 
     def reps(n):
-      def body(carry, i):
-        st, _ = carry
-        st, loss, _ = step_fn(st, inputs, targets, forcings,
-                              jax.random.fold_in(key, i))
-        return (st, loss), None
+      def run_factory():
+        def body(carry, i):
+          st, _, inp = carry
+          st, loss, _ = step_fn(st, inp, targets, forcings,
+                                jax.random.fold_in(key, i))
+          return (st, loss, inp), None
 
-      @jax.jit
-      def run(st):
-        (st, loss), _ = jax.lax.scan(body, (st, jnp.float32(0)),
-                                     jnp.arange(n))
-        return loss
+        @jax.jit
+        def run(st, inp):
+          (st, loss, _), _ = jax.lax.scan(
+              body, (st, jnp.float32(0), inp), jnp.arange(n))
+          return loss
+        return run
 
+      run = run_factory()
       t0 = time.time()
-      loss = float(run(state))
+      loss = float(run(state, inputs))
       print(f'[ab] reps={n}: first(compile) {time.time()-t0:.1f}s '
             f'loss={loss:.3f}', file=sys.stderr)
       ts = []
-      for _ in range(3):
+      for j in range(3):
+        # Vary an input per call: identical repeated dispatches get
+        # elided by the relay and time near zero (bench.py contract).
         t0 = time.time()
-        float(run(state))
+        float(run(state, inputs + float(j + 1)))
         ts.append(time.time() - t0)
       return min(ts)
 
