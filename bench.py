@@ -42,7 +42,7 @@ emitted before. So when the relay has a slow day, what falls off the
 end is a sampler number, never the 0.25-degree train step (the round-2
 failure mode).
 Knobs:
-  BENCH_BUDGET_S   total wall-clock budget, seconds (default 720)
+  BENCH_BUDGET_S   total wall-clock budget, seconds (default 840)
   BENCH_SECTIONS   comma list from {tiny,nano,onedeg,qdeg,nano_sampler,
                    onedeg_sampler,onedeg_rollout30,graphcast,
                    tiny_rollout3,tiny_graphcast},
@@ -441,12 +441,14 @@ def main():
     _run_sections(section)
     return
 
-  # 720s: a rehearsed warm full pass landed the 7 GenCast metrics at
-  # ~590s including ~120s of relay stalls; the trailing graphcast
-  # section needs ~60s warm on top. The parent still exits 0 at the
-  # deadline with whatever landed (the driver tolerated the ~1100s cold
-  # first pass in round 4).
-  budget = float(os.environ.get('BENCH_BUDGET_S', '720'))
+  # 840s: a rehearsed warm full pass landed the 7 GenCast metrics at
+  # ~590s including ~120s of relay stalls, and the trailing graphcast
+  # section needs ~60s warm on top; the extra margin covers the
+  # 270-530s first-probe stalls observed after heavy/killed TPU jobs
+  # (a 720s pass lost qdeg + all samplers to one such stall). The
+  # parent still exits 0 at the deadline with whatever landed (the
+  # driver tolerated the ~1100s cold first pass in round 4).
+  budget = float(os.environ.get('BENCH_BUDGET_S', '840'))
   names = os.environ.get(
       'BENCH_SECTIONS',
       'nano,onedeg,qdeg,nano_sampler,onedeg_sampler,onedeg_rollout30,'
