@@ -294,6 +294,12 @@ def batch_iterator(source: WindowedSource, batch_size: int, *,
         f'{batch_size}')
   if rows is not None:
     rows = np.asarray(rows)
+    if rows.size == 0:
+      # A dp/mp layout can leave a process with no 'data' shard; fail with
+      # the cause rather than np.stack's opaque 'need at least one array'.
+      raise ValueError(
+          'rows is empty: this process owns no batch rows under the '
+          'requested data-parallel layout (see meshes.local_batch_plan)')
   while True:
     idx = rng.permutation(n) if shuffle else np.arange(n)
     for start in range(0, n - batch_size + 1, batch_size):

@@ -202,6 +202,14 @@ def main(argv=None):
 
   if args.cpu:
     # Honored only if the backend has not initialized yet in this process.
+    # tools/ is a repo-root directory, not part of the package: anchor the
+    # repo root so `python -m gencast_tpu.training.train --cpu N` works
+    # from any cwd (same pattern as __graft_entry__.py).
+    import pathlib
+    import sys as _sys
+    _root = str(pathlib.Path(__file__).resolve().parents[2])
+    if _root not in _sys.path:
+      _sys.path.append(_root)
     from tools.xla_flags import force_host_device_count
     force_host_device_count(args.cpu)
 
@@ -333,7 +341,12 @@ def main(argv=None):
                                  'batch_size': args.batch_size,
                                  'lr': args.learning_rate})
 
-  if args.multihost and args.ar_steps > 1:
+  # AR multi-step training is a graphcast-only mode; resolve the effective
+  # value once so every downstream gate (multihost, fused, functional)
+  # agrees. A stray --ar_steps 2 on a gencast run is a no-op, not an error.
+  ar_steps = args.ar_steps if args.model == 'graphcast' else 1
+
+  if args.multihost and ar_steps > 1:
     # The AR iterator yields [1, ...] / [K, B, ...] batches that the
     # P('data') sharding cannot split across a forced dp=device_count
     # mesh; fail clearly instead of crashing at the first device_put.
@@ -346,7 +359,7 @@ def main(argv=None):
   # steps_lib.scanned_train_steps). The host loop's per-step dispatch
   # overhead would otherwise dominate small models.
   fused = (args.steps_per_call > 1 and args.model == 'gencast'
-           and args.ar_steps <= 1 and mesh is None
+           and ar_steps <= 1 and mesh is None
            and args.batch_size == 1)
   if args.steps_per_call > 1 and not fused:
     print('[train] fused steps_per_call requires gencast, batch_size=1, '
@@ -361,7 +374,7 @@ def main(argv=None):
                     if args.functional_step is not None
                     else spec.use_donated_step)
   step_fn = fstate = None
-  if use_functional and args.model == 'gencast' and args.ar_steps <= 1:
+  if use_functional and args.model == 'gencast' and ar_steps <= 1:
     step_fn, fstate = steps_lib.functional_train_step(wrapped, optimizer)
     print('[train] donated-state functional step enabled')
 
@@ -373,7 +386,6 @@ def main(argv=None):
 
   # Exactly ONE live definition of the batch iterator per configuration
   # (AR multi-frame windows / multihost local rows / default).
-  ar_steps = args.ar_steps if args.model == 'graphcast' else 1
   if ar_steps > 1:
     # Multi-step AR training: samples provide K target/forcing frames.
     def multi_it():

@@ -31,6 +31,7 @@ def sampler_fixture(spec, *, batch: int = 1, rngs_seed: int = 0,
   import jax.numpy as jnp
 
   from gencast_tpu import configs
+  from gencast_tpu.models import wrappers
 
   t0 = time.time()
   model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(rngs_seed))
@@ -39,7 +40,7 @@ def sampler_fixture(spec, *, batch: int = 1, rngs_seed: int = 0,
     model = casting.Bfloat16Cast(model)
   if log is not None:
     log(f'model build: {time.time() - t0:.1f}s')
-  d = (model.predictor if hasattr(model, 'predictor') else model).denoiser
+  d = wrappers.find_layout_provider(model)
   nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
 
   inputs = jax.random.normal(

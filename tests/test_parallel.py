@@ -159,3 +159,15 @@ def test_local_batch_plan_covers_and_assembles():
     # Same placement as a direct global device_put.
     ref = jax.device_put(full, meshes.batch_sharding(mesh))
     assert out.sharding.is_equivalent_to(ref.sharding, full.ndim), (dp, mp)
+
+
+def test_batch_iterator_empty_rows_raises_clearly():
+  """A dp/mp layout can leave a process with zero batch rows; the iterator
+  must name the cause instead of crashing inside np.stack."""
+  from gencast_tpu.data import registry, sources
+
+  src = sources.SyntheticSource(registry.GENCAST_TASK,
+                                np.linspace(-88, 88, 4),
+                                np.linspace(0, 350, 8), num_times=10, seed=0)
+  with pytest.raises(ValueError, match='owns no batch rows'):
+    next(sources.batch_iterator(src, 2, rows=[]))
