@@ -366,3 +366,87 @@ def load_stats(path: str) -> layout_lib.Stats:
     tables[kind][name] = z[key]
   return layout_lib.Stats(mean=tables['mean'], std=tables['std'],
                           diffs_std=tables['diffs'])
+
+
+# DeepMind's published normalization statistics: one NetCDF file per table
+# (the reference loads them with xr.load_dataset,
+# training/train_helpers.py:190-211). The gencast_stats_* names ship with
+# the published GenCast weights; the unprefixed names with GraphCast's.
+_STATS_NC_NAMES = {
+    'mean': ('gencast_stats_mean_by_level.nc', 'mean_by_level.nc'),
+    'std': ('gencast_stats_stddev_by_level.nc', 'stddev_by_level.nc'),
+    'diffs': ('gencast_stats_diffs_stddev_by_level.nc',
+              'diffs_stddev_by_level.nc'),
+}
+
+
+def _read_stats_netcdf(path: str, pressure_levels) -> Dict[str, np.ndarray]:
+  """One {mean,stddev,diffs_stddev}_by_level.nc -> {var: scalar or [L]}.
+
+  Surface variables are 0-d scalars; atmospheric variables carry a 'level'
+  dimension, subselected (nearest) to the task's pressure levels so the
+  table indexes by level POSITION like compute_stats' output.
+  """
+  import h5py
+
+  from gencast_tpu.data import era5_netcdf as nc
+
+  table: Dict[str, np.ndarray] = {}
+  with h5py.File(path, 'r') as f:
+    level = None
+    for raw in f.keys():
+      if (nc.DIM_RENAMES.get(raw, raw) == 'level'
+          and f[raw].attrs.get('CLASS') == b'DIMENSION_SCALE'):
+        level = np.asarray(f[raw][...], np.float64)
+    lvl_sel = None
+    if pressure_levels is not None and level is not None:
+      lvl_sel = np.asarray([int(np.argmin(np.abs(level - l)))
+                            for l in pressure_levels])
+    for raw in f.keys():
+      dset = f[raw]
+      if dset.attrs.get('CLASS') == b'DIMENSION_SCALE':
+        continue  # coordinate variable
+      dims = nc._dim_names(dset)
+      v = np.asarray(dset[...], np.float32)
+      if 'level' in dims:
+        v = np.transpose(v, [dims.index('level')]
+                         + [i for i, d in enumerate(dims) if d != 'level'])
+        v = v.reshape(v.shape[0])  # stats files are level-only
+        if lvl_sel is not None:
+          v = v[lvl_sel]
+      else:
+        v = v.reshape(())
+      table[raw] = v
+  return table
+
+
+def load_stats_netcdf(stats_dir: str,
+                      pressure_levels=None) -> layout_lib.Stats:
+  """Loads DeepMind's published normalization statistics from a directory.
+
+  Reads gencast_stats_{mean,stddev,diffs_stddev}_by_level.nc (falling back
+  to GraphCast's unprefixed names) via h5py — the published-weights
+  counterpart of the reference's xarray loader
+  (training/train_helpers.py:190-211). pressure_levels (the task's) select
+  the matching rows of each file's level coordinate; pass None to keep
+  every level in file order.
+  """
+  tables = {}
+  for kind, names in _STATS_NC_NAMES.items():
+    path = next((p for p in (os.path.join(stats_dir, n) for n in names)
+                 if os.path.exists(p)), None)
+    if path is None:
+      raise FileNotFoundError(
+          f'normalization stats not found in {stats_dir}: expected one of '
+          f'{names}')
+    tables[kind] = _read_stats_netcdf(path, pressure_levels)
+  return layout_lib.Stats(mean=tables['mean'], std=tables['std'],
+                          diffs_std=tables['diffs'])
+
+
+def load_stats_auto(path: str, pressure_levels=None) -> layout_lib.Stats:
+  """Dispatches --stats_path: a directory means published NetCDF stats,
+  a file means this package's own npz format (save_stats)."""
+  if os.path.isdir(path):
+    return load_stats_netcdf(path, pressure_levels)
+  return load_stats(path)

@@ -113,7 +113,8 @@ def main(argv=None):
       source = sources.Era5NpzSource(args.data, task)
 
   if args.stats_path and os.path.exists(args.stats_path):
-    stats = sources.load_stats(args.stats_path)
+    # A directory means DeepMind's published NetCDF stats files.
+    stats = sources.load_stats_auto(args.stats_path, task.pressure_levels)
   else:
     stats = sources.compute_stats(source)
 

@@ -264,9 +264,10 @@ def main(argv=None):
   print(f'[train] data source: {type(source).__name__}, '
         f'{len(source)} samples')
 
-  # Normalization stats.
+  # Normalization stats. A directory means DeepMind's published NetCDF
+  # stats files (gencast_stats_*_by_level.nc); a file means our npz.
   if args.stats_path and os.path.exists(args.stats_path):
-    stats = sources.load_stats(args.stats_path)
+    stats = sources.load_stats_auto(args.stats_path, task.pressure_levels)
     print(f'[train] loaded stats from {args.stats_path}')
   else:
     stats = sources.compute_stats(source)

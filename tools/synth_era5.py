@@ -195,6 +195,49 @@ def synthesize(out_dir: str,
     print(f'[synth_era5] wrote {month}: {times.size} steps at {res}')
 
 
+def synthesize_stats(out_dir: str,
+                     levels: Sequence[int] = (
+                         PRESSURE_LEVELS_WEATHERBENCH_13),
+                     seed: int = 0,
+                     prefix: str = 'gencast_stats_') -> None:
+  """Writes DeepMind-layout normalization-stats NetCDF files.
+
+  Produces {prefix}{mean,stddev,diffs_stddev}_by_level.nc in the exact
+  structure shipped with the published GenCast weights (what the reference
+  loads at training/train_helpers.py:190-211): atmospheric variables as
+  [level] vectors on a `level` coordinate, surface/forcing variables as
+  0-d scalars. Used by the published-weights e2e tests
+  (sources.load_stats_netcdf is the consumer).
+  """
+  from gencast_tpu.data import registry
+
+  os.makedirs(out_dir, exist_ok=True)
+  rng = np.random.default_rng(seed)
+  levels = np.asarray(levels, np.int32)
+  surface_vars = set(registry.GENCAST_TARGET_SURFACE_VARS
+                     + registry.FORCING_VARS + registry.STATIC_VARS)
+  atmos_vars = registry.TARGET_ATMOSPHERIC_VARS
+
+  def table(lo, hi):
+    variables = {}
+    for name in atmos_vars:
+      variables[name] = (('level',), rng.uniform(
+          lo, hi, levels.size).astype(np.float32))
+    for name in sorted(surface_vars):
+      variables[name] = ((), np.float32(rng.uniform(lo, hi)))
+    return variables
+
+  for kind, (lo, hi) in (('mean', (-1.0, 1.0)), ('stddev', (0.5, 3.0)),
+                         ('diffs_stddev', (0.1, 1.0))):
+    netcdf_writer.write_dataset(
+        os.path.join(out_dir, f'{prefix}{kind}_by_level.nc'),
+        {'level': levels.astype(np.float64)},
+        table(lo, hi),
+        global_attrs={'source': 'tools/synth_era5.py synthesize_stats',
+                      'seed': seed})
+  print(f'[synth_era5] wrote {prefix}*_by_level.nc stats to {out_dir}')
+
+
 def main(argv=None):
   p = argparse.ArgumentParser(description=__doc__.split('\n')[0])
   p.add_argument('--out', required=True)
@@ -203,10 +246,14 @@ def main(argv=None):
   p.add_argument('--steps_per_month', type=int, default=40)
   p.add_argument('--num_levels', type=int, default=13)
   p.add_argument('--seed', type=int, default=0)
+  p.add_argument('--stats', action='store_true',
+                 help='also write synthetic published-format stats files')
   args = p.parse_args(argv)
   levels = PRESSURE_LEVELS_WEATHERBENCH_13[-args.num_levels:]
   synthesize(args.out, args.resolution, args.months, args.steps_per_month,
              levels=levels, seed=args.seed)
+  if args.stats:
+    synthesize_stats(args.out, levels=levels, seed=args.seed)
 
 
 if __name__ == '__main__':
