@@ -75,10 +75,23 @@ _T0 = time.time()
 _MIN_SECTION_S = 45
 
 
-def _emit(metric, value, unit):
-  print(json.dumps({'metric': metric, 'value': round(value, 3),
+def _emit(metric, value, unit, ndigits=3):
+  print(json.dumps({'metric': metric, 'value': round(value, ndigits),
                     'unit': unit, 'vs_baseline': None}))
   sys.stdout.flush()
+
+
+def _emit_mfu(metric_prefix, flops_total, seconds):
+  """Model-TFLOP/s + MFU companions to a timed metric (training/flops.py:
+  analytic matmul FLOPs over the v5e bf16 peak; f32 configs under-read
+  by design — see the module docstring). 6 digits: CPU test-tier runs
+  land MFUs around 1e-4 that must stay nonzero in the JSON contract."""
+  from gencast_tpu.training import flops as flops_lib
+  _emit(f'{metric_prefix}_tflops', flops_total / seconds / 1e12, 'TFLOP/s',
+        ndigits=6)
+  _emit(f'{metric_prefix}_mfu',
+        flops_lib.mfu(flops_total, seconds), 'fraction_of_v5e_bf16_peak',
+        ndigits=6)
 
 
 def _probe():
@@ -128,6 +141,7 @@ def bench_model(spec, tag, train_reps, fwd=False, sampler=True,
 
   from gencast_tpu import configs
   from gencast_tpu.models import wrappers
+  from gencast_tpu.training import flops as flops_lib
   from gencast_tpu.training import steps
 
   _probe()
@@ -139,6 +153,13 @@ def bench_model(spec, tag, train_reps, fwd=False, sampler=True,
     model = casting.Bfloat16Cast(model)
   print(f'[{tag}] model build: {time.time()-t0:.1f}s', file=sys.stderr)
   d = wrappers.find_layout_provider(model)
+  # Analytic model FLOPs for the MFU companions (the builder may have
+  # substituted the task, e.g. build_graphcast on GenCast presets).
+  if builder is configs.build_graphcast:
+    fwd_flops = flops_lib.graphcast_forward_flops(spec, statics,
+                                                  task=d.task)
+  else:
+    fwd_flops = flops_lib.denoiser_forward_flops(spec, statics, task=d.task)
   nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
 
   def arr(c, i):
@@ -183,6 +204,7 @@ def bench_model(spec, tag, train_reps, fwd=False, sampler=True,
           f'{dts[0]*1000:.2f}..{dts[-1]*1000:.2f} ms, '
           f'median {dts[len(dts)//2]*1000:.2f})', file=sys.stderr)
     _emit(f'{tag}_denoiser_steps_per_sec', 1.0 / dt, 'steps/s/chip')
+    _emit_mfu(f'{tag}_denoiser_fwd', fwd_flops.total, dt)
 
   # --- train step (fwd+bwd+AdamW, chained through optimizer state) ---
   opt = steps.create_optimizer(model, steps.OptimizerConfig())
@@ -219,6 +241,7 @@ def bench_model(spec, tag, train_reps, fwd=False, sampler=True,
   print(f'[{tag}] train step: {dt*1000:.1f} ms (best of {len(dts)}; '
         f'spread {dts[0]*1000:.1f}..{dts[-1]*1000:.1f})', file=sys.stderr)
   _emit(f'{tag}_train_step_ms', dt * 1000, 'ms/step')
+  _emit_mfu(f'{tag}_train', flops_lib.train_step_flops(fwd_flops).total, dt)
 
   if not sampler:
     return
@@ -235,6 +258,9 @@ def bench_model(spec, tag, train_reps, fwd=False, sampler=True,
              iters=2)
   print(f'[{tag}] sampler: {t:.2f}s/forecast-step', file=sys.stderr)
   _emit(f'{tag}_sampler_sec', t, 's/forecast-step')
+  _emit_mfu(f'{tag}_sampler',
+            flops_lib.sampler_step_flops(fwd_flops,
+                                         spec.num_noise_levels).total, t)
 
 
 def bench_sampler(spec, tag):
@@ -242,6 +268,7 @@ def bench_sampler(spec, tag):
   pickles, 3-15s) so the sampler metrics can run AFTER all train-step
   metrics in the priority order instead of inside bench_model."""
   from gencast_tpu import utils
+  from gencast_tpu.training import flops as flops_lib
 
   _probe()
   fx = utils.sampler_fixture(
@@ -251,6 +278,11 @@ def bench_sampler(spec, tag):
              iters=2)
   print(f'[{tag}] sampler: {t:.2f}s/forecast-step', file=sys.stderr)
   _emit(f'{tag}_sampler_sec', t, 's/forecast-step')
+  fwd = flops_lib.denoiser_forward_flops(spec, fx.statics,
+                                         task=fx.denoiser.task)
+  _emit_mfu(f'{tag}_sampler',
+            flops_lib.sampler_step_flops(fwd, spec.num_noise_levels).total,
+            t)
 
 
 def bench_rollout30(spec, tag, num_steps=30):
@@ -293,6 +325,12 @@ def bench_rollout30(spec, tag, num_steps=30):
              iters=1)
   print(f'[{tag}] rollout{num_steps}: {t:.1f}s', file=sys.stderr)
   _emit(f'{tag}_rollout{num_steps}_sec', t, f's/{num_steps}-step-forecast')
+  from gencast_tpu.training import flops as flops_lib
+  fwd = flops_lib.denoiser_forward_flops(spec, fx.statics, task=d.task)
+  _emit_mfu(
+      f'{tag}_rollout{num_steps}',
+      num_steps * flops_lib.sampler_step_flops(
+          fwd, spec.num_noise_levels).total, t)
 
 
 def bench_quarterdeg():
@@ -348,6 +386,11 @@ def bench_quarterdeg():
     if _deadline_remaining() < 3 * ts[-1]:
       break  # land the metric with the reps that fit the budget
   _emit('quarterdeg_train_step_sec', min(ts), 's/step')
+  from gencast_tpu.training import flops as flops_lib
+  fwd = flops_lib.denoiser_forward_flops(configs.QUARTER_DEG, statics,
+                                         task=d.task)
+  _emit_mfu('quarterdeg_train',
+            flops_lib.train_step_flops(fwd).total, min(ts))
 
 
 def _deadline_remaining(default: float = 1e9) -> float:
