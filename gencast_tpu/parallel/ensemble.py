@@ -117,6 +117,44 @@ def ensemble_statistics(members: jnp.ndarray,
   return run(members)
 
 
+def ensemble_scores(members: jnp.ndarray,      # [M, ..., lat, lon, C]
+                    truth: jnp.ndarray,        # [..., lat, lon, C]
+                    lat_weights: jnp.ndarray,  # [lat]
+                    mesh: Optional[Mesh] = None):
+  """Device-side ensemble verification: CRPS + ensemble-mean RMSE +
+  spread per channel, reduced on device so only [..., C]-shaped scores
+  (KBs) ever reach the host.
+
+  Under a mesh, the member-sharded fields are resharded to SPATIAL
+  sharding (lat over the 'ensemble' axis) first — one all-to-all over
+  ICI — so the member-axis sort/means inside CRPS are device-local
+  instead of gathering the full ensemble everywhere. Outputs are
+  replicated. Numerics match ops/metrics on the gathered array up to f32
+  reduction order (unit-tested); the 50-member 1-degree 30-step use case
+  would otherwise offload ~10 GB of member fields through the host.
+
+  Returns {'crps', 'rmse', 'spread'}: [..., C] jax arrays.
+  """
+  from gencast_tpu.ops import metrics
+
+  @jax.jit
+  def run(mem, tru, w):
+    if mesh is not None:
+      spatial = [None] * (mem.ndim - 3) + ['ensemble', None, None]
+      mem = jax.lax.with_sharding_constraint(
+          mem, NamedSharding(mesh, P(*spatial)))
+    out = {'crps': metrics.crps_ensemble(mem, tru, w),
+           'rmse': metrics.ensemble_mean_rmse(mem, tru, w),
+           'spread': metrics.ensemble_spread(mem, w)}
+    if mesh is not None:
+      repl = NamedSharding(mesh, P())
+      out = {k: jax.lax.with_sharding_constraint(v, repl)
+             for k, v in out.items()}
+    return out
+
+  return run(members, truth, lat_weights)
+
+
 def ensemble_sample(model: nnx.Module,
                     inputs: jnp.ndarray,
                     forcings: jnp.ndarray,

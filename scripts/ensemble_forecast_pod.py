@@ -41,6 +41,17 @@ def parse_args():
   p.add_argument('--members', type=int, default=50)
   p.add_argument('--steps', type=int, default=30)
   p.add_argument('--out', default='/tmp/forecast.npz')
+  p.add_argument('--score', action='store_true',
+                 help='compute CRPS/RMSE/spread vs the data source\'s '
+                      'targets ON DEVICE (parallel.ensemble.ensemble_'
+                      'scores) and save per-variable scores JSON; only '
+                      'KB-sized scores reach the host')
+  p.add_argument('--save_members', action=argparse.BooleanOptionalAction,
+                 default=True,
+                 help='offload and save the member forecast fields '
+                      '(--no-save_members for score-only runs: at 50 '
+                      'members x 30 steps x 1 degree the fields are '
+                      '~10 GB through the host, the scores are KBs)')
   p.add_argument('--multihost', action='store_true',
                  help='initialize jax.distributed (one process per host)')
   p.add_argument('--bf16', action=argparse.BooleanOptionalAction,
@@ -141,11 +152,16 @@ def main():
 
   t0 = time.time()
   kept = {}  # global member id -> np.ndarray [K, B, lat, lon, C]
+  chunk_outs = []  # device-resident chunk outputs (for --score)
   # One jitted program for every chunk (same chunk shape by construction).
   run = ensemble.make_ensemble_rollout(wrapped, mesh=mesh)
   for lo in range(0, padded, ens_axis):
     out = run(inputs, forcings, mkeys[lo:lo + ens_axis])
     # [ens_axis, K, B, lat, lon, C], member axis sharded over 'ensemble'.
+    if args.score:
+      chunk_outs.append(out)
+    if not args.save_members:
+      continue
     # Under multi-process the global array is not fully addressable on
     # any one host: save each process's own shards (dedup the 'model'-
     # axis replicas by member range).
@@ -161,6 +177,9 @@ def main():
         member = lo + start + j
         if member < args.members:
           kept[member] = data[j]
+  if not args.save_members:
+    for out in chunk_outs:
+      jax.block_until_ready(out)
   # np.asarray(shard.data) above already forced host readback, so the
   # wall time covers this process's compute.
   dt = time.time() - t0
@@ -168,16 +187,51 @@ def main():
         f'{dt:.1f}s wall (incl. compile), '
         f'{args.members / dt:.2f} members/s', flush=True)
 
-  ids = np.array(sorted(kept), dtype=np.int32)
-  preds = np.stack([kept[i] for i in ids]) if len(ids) else np.zeros((0,))
-  out_path = args.out
-  if jax.process_count() > 1:
-    base, ext = os.path.splitext(args.out)
-    out_path = f'{base}.p{jax.process_index()}{ext}'
-  np.savez(out_path, predictions=preds, members=ids,
-           lat=statics.grid_lat, lon=statics.grid_lon)
-  print(f'[forecast] saved members {ids.tolist()} to {out_path}',
-        flush=True)
+  if args.score:
+    # Device-side verification over the 'ensemble' axis: member fields
+    # stay sharded on the mesh; only [K, B, C]-shaped scores reach the
+    # host (then per-variable scalars into JSON). Padding members are
+    # sliced off on device before the reduction.
+    import jax.numpy as jnp
+
+    from gencast_tpu.data import layout as layout_lib
+    from gencast_tpu.ops import metrics as metrics_lib
+
+    t0 = time.time()
+    all_members = (chunk_outs[0] if len(chunk_outs) == 1
+                   else jnp.concatenate(chunk_outs, axis=0))
+    truth = jnp.asarray(np.asarray(w.targets)[:, None])  # [K, B, ...]
+    lat_w = jnp.asarray(layout_lib.latitude_weights(statics.grid_lat))
+    scores = ensemble.ensemble_scores(
+        all_members[:args.members], truth, lat_w, mesh=mesh)
+    tgt_layout = wrappers.find_layout_provider(wrapped).target_layout
+    per_var = {
+        name: {var: np.asarray(v)[:, 0].tolist()  # [K] per forecast step
+               for var, v in metrics_lib.per_variable(
+                   np.asarray(arr), tgt_layout).items()}
+        for name, arr in scores.items()}
+    print(f'[forecast] device-side scores in {time.time()-t0:.1f}s',
+          flush=True)
+    if jax.process_index() == 0:
+      import json
+      base, _ = os.path.splitext(args.out)
+      scores_path = f'{base}.scores.json'
+      with open(scores_path, 'w') as f:
+        json.dump({'members': args.members, 'steps': args.steps,
+                   'scores': per_var}, f, indent=1)
+      print(f'[forecast] saved scores to {scores_path}', flush=True)
+
+  if args.save_members:
+    ids = np.array(sorted(kept), dtype=np.int32)
+    preds = np.stack([kept[i] for i in ids]) if len(ids) else np.zeros((0,))
+    out_path = args.out
+    if jax.process_count() > 1:
+      base, ext = os.path.splitext(args.out)
+      out_path = f'{base}.p{jax.process_index()}{ext}'
+    np.savez(out_path, predictions=preds, members=ids,
+             lat=statics.grid_lat, lon=statics.grid_lon)
+    print(f'[forecast] saved members {ids.tolist()} to {out_path}',
+          flush=True)
 
 
 if __name__ == '__main__':

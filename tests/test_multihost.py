@@ -76,7 +76,7 @@ def test_pod_forecast_script_two_process(tmp_path):
   """
   env = {k: v for k, v in os.environ.items() if k != 'XLA_FLAGS'}
   common = [sys.executable, POD_SCRIPT, '--preset', 'tiny', '--cpu', '2',
-            '--members', '3', '--steps', '2']
+            '--members', '3', '--steps', '2', '--score']
 
   sp_out = str(tmp_path / 'sp.npz')
   r = subprocess.run(common + ['--out', sp_out], capture_output=True,
@@ -121,6 +121,21 @@ def test_pod_forecast_script_two_process(tmp_path):
     rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
     # f32 reduction-order noise from the model=2 tensor sharding only.
     assert rel < 1e-5, (int(m), rel)
+
+  # Device-side scoring (--score): the two-process run's on-device
+  # CRPS/RMSE/spread must match the single-process run's (same members,
+  # f32 reduction-order tolerance). Process 0 writes the JSON.
+  import json
+  with open(str(tmp_path / 'sp.scores.json')) as f:
+    sp_scores = json.load(f)['scores']
+  with open(str(tmp_path / 'mh.scores.json')) as f:
+    mh_scores = json.load(f)['scores']
+  assert set(sp_scores) == {'crps', 'rmse', 'spread'}
+  for name, per_var in sp_scores.items():
+    for var, vals in per_var.items():
+      np.testing.assert_allclose(vals, mh_scores[name][var], rtol=1e-4,
+                                 err_msg=f'{name}/{var}')
+      assert np.isfinite(vals).all()
 
 
 @pytest.mark.slow

@@ -161,6 +161,46 @@ def test_local_batch_plan_covers_and_assembles():
     assert out.sharding.is_equivalent_to(ref.sharding, full.ndim), (dp, mp)
 
 
+def test_ensemble_scores_device_side_matches_cpu_path():
+  """parallel.ensemble.ensemble_scores (member-sharded inputs, spatial
+  reshard, on-device reduction) must agree with the plain ops/metrics
+  functions on the gathered array AND with the streamed CPU scorer
+  (score_ensemble_chunked) up to f32 reduction order."""
+  from jax.sharding import NamedSharding, PartitionSpec as P
+
+  from gencast_tpu.ops import metrics
+
+  mesh = meshes.make_mesh(4, 1, 2)
+  m, k, b, nlat, nlon, c = 8, 2, 1, 9, 8, 5
+  rng = np.random.default_rng(0)
+  members = rng.standard_normal((m, k, b, nlat, nlon, c)).astype(np.float32)
+  truth = rng.standard_normal((k, b, nlat, nlon, c)).astype(np.float32)
+  latw = np.linspace(0.5, 1.5, nlat).astype(np.float32)
+
+  dev = jax.device_put(members, NamedSharding(mesh, P('ensemble')))
+  scores = ensemble.ensemble_scores(dev, jnp.asarray(truth),
+                                    jnp.asarray(latw), mesh=mesh)
+  # Replicated outputs (KBs on the host, never the member fields).
+  assert scores['crps'].sharding.is_fully_replicated
+
+  direct = {
+      'crps': metrics.crps_ensemble(jnp.asarray(members),
+                                    jnp.asarray(truth), jnp.asarray(latw)),
+      'rmse': metrics.ensemble_mean_rmse(jnp.asarray(members),
+                                         jnp.asarray(truth),
+                                         jnp.asarray(latw)),
+      'spread': metrics.ensemble_spread(jnp.asarray(members),
+                                        jnp.asarray(latw)),
+  }
+  chunked = metrics.score_ensemble_chunked(members, truth, latw,
+                                           lat_chunk=4)
+  for name in ('crps', 'rmse', 'spread'):
+    np.testing.assert_allclose(np.asarray(scores[name]),
+                               np.asarray(direct[name]), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(scores[name]), chunked[name],
+                               rtol=2e-5)
+
+
 def test_batch_iterator_empty_rows_raises_clearly():
   """A dp/mp layout can leave a process with zero batch rows; the iterator
   must name the cause instead of crashing inside np.stack."""
