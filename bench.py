@@ -19,6 +19,15 @@ Metrics:
                                  (BASELINE config 5): fwd+bwd+AdamW
                                  through the 16-step multimesh GNN at
                                  the nano demo scale
+  graphcast_onedeg_train_step_ms — GraphCast at its 1-degree operating
+                                 point (splits=5, latent 512, 16 MP
+                                 steps, bf16) — round-5 VERDICT item 5
+  qdeg_sampler_sec             — one 0.25-degree forecast step (39
+                                 denoiser calls, bf16), fresh child
+                                 process — round-5 VERDICT item 4
+
+Every timed metric gets *_tflops / *_mfu companions (analytic model
+FLOPs, gencast_tpu/training/flops.py, vs the v5e bf16 peak).
 
 Methodology: everything except the samplers is chained through an
 on-device lax.scan (output feeds the next call's input) and differenced
@@ -42,14 +51,17 @@ emitted before. So when the relay has a slow day, what falls off the
 end is a sampler number, never the 0.25-degree train step (the round-2
 failure mode).
 Knobs:
-  BENCH_BUDGET_S   total wall-clock budget, seconds (default 840)
+  BENCH_BUDGET_S   total wall-clock budget, seconds (default 1200)
   BENCH_SECTIONS   comma list from {tiny,nano,onedeg,qdeg,nano_sampler,
                    onedeg_sampler,onedeg_rollout30,graphcast,
+                   graphcast_onedeg,qdeg_sampler,
                    tiny_rollout3,tiny_graphcast},
                    ordered by priority (default 'nano,onedeg,qdeg,
                    nano_sampler,onedeg_sampler,onedeg_rollout30,
-                   graphcast'; 'tiny*' are the CPU-sized configs the
-                   test tier uses to exercise this plumbing)
+                   graphcast,graphcast_onedeg,qdeg_sampler' — the
+                   round-4 metric set first, so a slow relay day drops
+                   only the round-5 tail; 'tiny*' are the CPU-sized
+                   configs the test tier uses to exercise this plumbing)
   BENCH_SKIP_1DEG / BENCH_SKIP_QDEG  legacy single-section skips
 """
 
@@ -393,6 +405,44 @@ def bench_quarterdeg():
             flops_lib.train_step_flops(fwd).total, min(ts))
 
 
+def bench_qdeg_sampler():
+  """One 0.25-degree forecast step (the paper-scale inference
+  deliverable): the full 20-level DPM++2S sampler, bf16, one jitted
+  program with a scalar readback. Own child process (near-capacity HBM,
+  same rule as the qdeg train section); ONE forecast step per program is
+  the relay-validated shape (multi-step 0.25-degree chunk programs and
+  large readbacks crash the relay worker — dev notes, round 2).
+  Reference role: training/evaluation.py:431-495 at the published
+  model's scale."""
+  from gencast_tpu import configs, utils
+  from gencast_tpu.training import flops as flops_lib
+
+  _probe()
+  fx = utils.sampler_fixture(
+      configs.QUARTER_DEG,
+      log=lambda m: print(f'[qdeg_sampler] {m}', file=sys.stderr))
+  t0 = time.time()
+  v = float(fx.sample(fx.state, fx.inputs, fx.forcings, fx.key))
+  print(f'[qdeg_sampler] compile+run: {time.time()-t0:.1f}s '
+        f'(sum={v:.3e})', file=sys.stderr)
+  ts = []
+  for i in range(2):
+    t0 = time.time()
+    float(fx.sample(fx.state, fx.inputs + float(i + 1), fx.forcings,
+                    fx.key))
+    ts.append(time.time() - t0)
+    if _deadline_remaining() < 1.5 * ts[-1]:
+      break
+  t = min(ts)
+  print(f'[qdeg_sampler] sampler: {t:.1f}s/forecast-step', file=sys.stderr)
+  _emit('qdeg_sampler_sec', t, 's/forecast-step')
+  fwd = flops_lib.denoiser_forward_flops(configs.QUARTER_DEG, fx.statics,
+                                         task=fx.denoiser.task)
+  _emit_mfu('qdeg_sampler',
+            flops_lib.sampler_step_flops(
+                fwd, configs.QUARTER_DEG.num_noise_levels).total, t)
+
+
 def _deadline_remaining(default: float = 1e9) -> float:
   """Seconds until this (child) process's deadline, from BENCH_DEADLINE."""
   dl = os.environ.get('BENCH_DEADLINE')
@@ -424,6 +474,14 @@ def _dispatch(name: str) -> None:
     # GNN message steps, bf16 (the nano preset's production wrapper).
     bench_model(configs.NANO, 'graphcast_nano', train_reps=REPS,
                 sampler=False, builder=configs.build_graphcast)
+  elif name == 'graphcast_onedeg':
+    # GraphCast at the reference family's real operating point
+    # (graphcast/graphcast.py:174-201): 1 degree, splits=5, latent 512,
+    # 16 unshared multimesh MP steps, bf16.
+    bench_model(configs.ONE_DEG, 'graphcast_onedeg', train_reps=5,
+                sampler=False, builder=configs.build_graphcast)
+  elif name == 'qdeg_sampler':
+    bench_qdeg_sampler()
   elif name == 'tiny_graphcast':
     bench_model(configs.TINY, 'tiny_graphcast', train_reps=3,
                 sampler=False, builder=configs.build_graphcast)
@@ -491,11 +549,15 @@ def main():
   # (a 720s pass lost qdeg + all samplers to one such stall). The
   # parent still exits 0 at the deadline with whatever landed (the
   # driver tolerated the ~1100s cold first pass in round 4).
-  budget = float(os.environ.get('BENCH_BUDGET_S', '840'))
+  # 1200s: the round-4 8-metric set needs ~840 warm incl. relay stalls;
+  # the round-5 tail (graphcast_onedeg + qdeg_sampler, both in their own
+  # child processes) adds ~120s warm each. Priority ordering still
+  # guarantees a slow relay day drops only the tail metrics.
+  budget = float(os.environ.get('BENCH_BUDGET_S', '1200'))
   names = os.environ.get(
       'BENCH_SECTIONS',
       'nano,onedeg,qdeg,nano_sampler,onedeg_sampler,onedeg_rollout30,'
-      'graphcast'
+      'graphcast,graphcast_onedeg,qdeg_sampler'
   ).split(',')
   names = [n.strip() for n in names if n.strip()]
   if os.environ.get('BENCH_SKIP_1DEG'):
@@ -509,14 +571,15 @@ def main():
   # pays a relay stall on its first device op, absorbed by _probe), with
   # a hard parent-side kill at the shared budget deadline: a hung relay
   # call cannot be interrupted in-process, and already-printed metrics
-  # survive the kill. The 0.25-degree section is the one exception that
-  # gets a child of its OWN: its train step needs nearly the whole 16GB
-  # chip, and buffers from earlier sections in the same process are not
-  # reliably released through the relay (jax.clear_caches + gc still
-  # OOM'd it; a fresh process reproducibly fits).
+  # survive the kill. The near-capacity sections are the exception and
+  # get children of their OWN: they need most of the 16GB chip, and
+  # buffers from earlier sections in the same process are not reliably
+  # released through the relay (jax.clear_caches + gc still OOM'd the
+  # 0.25-degree step; a fresh process reproducibly fits).
+  heavy = {'qdeg', 'qdeg_sampler', 'graphcast_onedeg'}
   groups, cur = [], []
   for n in names:
-    if n == 'qdeg':
+    if n in heavy:
       if cur:
         groups.append(cur)
       groups.append([n])

@@ -15,6 +15,13 @@ program (the padded members' samples are computed and discarded; every
 kept member's stream depends only on fold_in(key, member_id), so results
 are independent of the chunking/device count).
 
+--score computes CRPS / ensemble-mean RMSE / spread ON DEVICE over the
+'ensemble' mesh axis (parallel.ensemble.ensemble_scores) and writes
+per-variable scores JSON from process 0; with --no-save_members only
+those KBs ever reach the host — the consumable north-star output when
+the member fields themselves (~10 GB at 50 members x 30 steps x 1
+degree) are not needed.
+
 On a real pod, jax.distributed.initialize() discovers the coordinator from
 the TPU environment. For a CPU stand-in (tests, laptops) pass --cpu N plus
 --coordinator/--process_id/--num_processes; tests/test_multihost.py drives
