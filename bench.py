@@ -25,6 +25,11 @@ Metrics:
   qdeg_sampler_sec             — one 0.25-degree forecast step (39
                                  denoiser calls, bf16), fresh child
                                  process — round-5 VERDICT item 4
+  graphcast_qdeg_train_step_sec — GraphCast at the published model's
+                                 0.25-degree scale (splits=6 multimesh,
+                                 latent 512, 16 MP steps, per-step remat);
+                                 NOT in the default section list — run
+                                 with BENCH_SECTIONS=graphcast_qdeg
 
 Every timed metric gets *_tflops / *_mfu companions (analytic model
 FLOPs, gencast_tpu/training/flops.py, vs the v5e bf16 peak).
@@ -54,7 +59,7 @@ Knobs:
   BENCH_BUDGET_S   total wall-clock budget, seconds (default 1200)
   BENCH_SECTIONS   comma list from {tiny,nano,onedeg,qdeg,nano_sampler,
                    onedeg_sampler,onedeg_rollout30,graphcast,
-                   graphcast_onedeg,qdeg_sampler,
+                   graphcast_onedeg,qdeg_sampler,graphcast_qdeg,
                    tiny_rollout3,tiny_graphcast},
                    ordered by priority (default 'nano,onedeg,qdeg,
                    nano_sampler,onedeg_sampler,onedeg_rollout30,
@@ -405,6 +410,65 @@ def bench_quarterdeg():
             flops_lib.train_step_flops(fwd).total, min(ts))
 
 
+def bench_graphcast_qdeg():
+  """GraphCast training step at the published model's 0.25-degree scale
+  (graphcast/graphcast.py:174-201: splits=6 multimesh, latent 512, 16
+  unshared MP steps; 13-level task per the preset conversion). Memory
+  plan: bf16 + donated state + streamed encoder/decoder edges
+  (edge_chunk_size) + whole-GNN encoder/decoder remat + per-MP-step
+  processor remat (GraphCastConfig.remat — 16 x ~1.5 GB of unshared MLP
+  residuals otherwise). Own child process (near-capacity HBM rule)."""
+  import flax.nnx as nnx
+  import jax
+  import jax.numpy as jnp
+
+  from gencast_tpu import configs
+  from gencast_tpu.models import casting
+  from gencast_tpu.training import steps
+
+  _probe()
+  t0 = time.time()
+  model, statics = configs.build_graphcast(configs.QUARTER_DEG,
+                                           rngs=nnx.Rngs(0))
+  model = casting.Bfloat16Cast(model)
+  print(f'[graphcast_qdeg] model build: {time.time()-t0:.1f}s',
+        file=sys.stderr)
+  opt = steps.create_optimizer(model, steps.OptimizerConfig())
+  step_fn, state = steps.functional_train_step(model, opt)
+
+  d = model.predictor
+  nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
+
+  def arr(c, i):
+    return jax.random.normal(jax.random.PRNGKey(i), (1, nlat, nlon, c),
+                             jnp.float32)
+
+  inputs = arr(d.input_layout.num_channels, 0)
+  targets = arr(d.target_layout.num_channels, 1)
+  forcings = arr(d.forcing_layout.num_channels, 2)
+  key = jax.random.PRNGKey(0)
+
+  t0 = time.time()
+  state, loss, _ = step_fn(state, inputs, targets, forcings, key)
+  print(f'[graphcast_qdeg] compile+run: {time.time()-t0:.1f}s '
+        f'loss={float(loss):.3f}', file=sys.stderr)
+  ts = []
+  for i in range(3):
+    t0 = time.time()
+    state, loss, _ = step_fn(state, inputs, targets, forcings,
+                             jax.random.fold_in(key, i + 1))
+    float(loss)  # scalar readback bounds the wall (block_until_ready lies)
+    ts.append(time.time() - t0)
+    if _deadline_remaining() < 3 * ts[-1]:
+      break
+  _emit('graphcast_qdeg_train_step_sec', min(ts), 's/step')
+  from gencast_tpu.training import flops as flops_lib
+  fwd = flops_lib.graphcast_forward_flops(configs.QUARTER_DEG, statics,
+                                          task=d.task)
+  _emit_mfu('graphcast_qdeg_train',
+            flops_lib.train_step_flops(fwd).total, min(ts))
+
+
 def bench_qdeg_sampler():
   """One 0.25-degree forecast step (the paper-scale inference
   deliverable): the full 20-level DPM++2S sampler, bf16, one jitted
@@ -482,6 +546,8 @@ def _dispatch(name: str) -> None:
                 sampler=False, builder=configs.build_graphcast)
   elif name == 'qdeg_sampler':
     bench_qdeg_sampler()
+  elif name == 'graphcast_qdeg':
+    bench_graphcast_qdeg()
   elif name == 'tiny_graphcast':
     bench_model(configs.TINY, 'tiny_graphcast', train_reps=3,
                 sampler=False, builder=configs.build_graphcast)
@@ -576,7 +642,7 @@ def main():
   # buffers from earlier sections in the same process are not reliably
   # released through the relay (jax.clear_caches + gc still OOM'd the
   # 0.25-degree step; a fresh process reproducibly fits).
-  heavy = {'qdeg', 'qdeg_sampler', 'graphcast_onedeg'}
+  heavy = {'qdeg', 'qdeg_sampler', 'graphcast_onedeg', 'graphcast_qdeg'}
   groups, cur = [], []
   for n in names:
     if n in heavy:

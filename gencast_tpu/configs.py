@@ -207,7 +207,8 @@ def build_graphcast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
       GraphCastConfig(latent_size=spec.d_model,
                       gnn_msg_steps=spec.num_layers,
                       hidden_layers=spec.hidden_layers,
-                      edge_chunk_size=spec.edge_chunk_size),
+                      edge_chunk_size=spec.edge_chunk_size,
+                      remat=spec.remat_gnns),
       rngs=rngs if rngs is not None else nnx.Rngs(0))
   return model, statics
 

@@ -40,6 +40,14 @@ class GraphCastConfig:
   # DenoiserConfig.use_agg_plans / ops/segment.py).
   use_agg_plans: bool = False
   agg_plan_min_degree: int = 32
+  # Gradient checkpointing for paper scale on one chip: jax.checkpoint
+  # around the grid2mesh encoder, EACH of the gnn_msg_steps processor
+  # steps (the 16 unshared multimesh MP steps carry ~1.5 GB bf16 of MLP
+  # residuals each at 0.25 degrees), and the mesh2grid decoder. The
+  # backward keeps only step-boundary latents and recomputes MLP
+  # internals, the same trade DenoiserConfig.remat_gnns makes for the
+  # GenCast encoder/decoder.
+  remat: bool = False
 
 
 # Reference loss weights (graphcast/graphcast.py:404-416).
@@ -71,6 +79,7 @@ class GraphCast(nnx.Module):
                        'build_multimesh=True')
     self.task = task
     cfg = config
+    self._remat = cfg.remat
     latent = cfg.latent_size
     self.num_lat = statics.grid_lat.shape[0]
     self.num_lon = statics.grid_lon.shape[0]
@@ -154,6 +163,7 @@ class GraphCast(nnx.Module):
         num_message_passing_steps=cfg.gnn_msg_steps,
         embed_nodes=False,
         f32_aggregation=False,
+        remat_steps=cfg.remat,
         **common)
 
     self.mesh2grid = TypedGraphNet(
@@ -196,19 +206,34 @@ class GraphCast(nnx.Module):
                               (feat.shape[0], b, feat.shape[1]))
 
     grid_in = jnp.concatenate([bcast(self.grid_struct[...]), node_data], -1)
-    nodes, _ = self.grid2mesh(
-        {'grid': grid_in, 'mesh': bcast(self.mesh_struct[...])},
-        {'g2m': bcast(self.g2m_edge_feats[...])})
-    latent_grid, latent_mesh = nodes['grid'], nodes['mesh']
+
+    def run_g2m(grid_in, mesh_in, edge_in):
+      nodes, _ = self.grid2mesh({'grid': grid_in, 'mesh': mesh_in},
+                                {'g2m': edge_in})
+      return nodes['grid'], nodes['mesh']
+
+    def run_m2g(latent_grid, latent_mesh, edge_in):
+      nodes, _ = self.mesh2grid({'grid': latent_grid, 'mesh': latent_mesh},
+                                {'m2g': edge_in})
+      return nodes['grid']
+
+    if self._remat:
+      # Whole-GNN remat for encoder/decoder (the grid-node MLP hiddens
+      # are [1.04M, latent]-sized at 0.25 degrees); the per-MP-step remat
+      # inside mesh_gnn is configured at construction (remat_steps).
+      run_g2m = jax.checkpoint(run_g2m)
+      run_m2g = jax.checkpoint(run_m2g)
+
+    latent_grid, latent_mesh = run_g2m(
+        grid_in, bcast(self.mesh_struct[...]),
+        bcast(self.g2m_edge_feats[...]))
 
     nodes, _ = self.mesh_gnn({'mesh': latent_mesh},
                              {'mesh': bcast(self.mm_edge_feats[...])})
     latent_mesh = nodes['mesh']
 
-    nodes, _ = self.mesh2grid(
-        {'grid': latent_grid, 'mesh': latent_mesh},
-        {'m2g': bcast(self.m2g_edge_feats[...])})
-    out = nodes['grid']  # [G, B, C_tgt]
+    out = run_m2g(latent_grid, latent_mesh,
+                  bcast(self.m2g_edge_feats[...]))  # [G, B, C_tgt]
     return out.transpose(1, 0, 2).reshape(b, self.num_lat, self.num_lon, -1)
 
   def __call__(self, inputs, forcings):

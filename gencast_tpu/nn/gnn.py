@@ -258,9 +258,13 @@ class TypedGraphNet(nnx.Module):
                f32_aggregation: bool = False,
                aggregate_normalization: Optional[float] = None,
                edge_chunk_size: Optional[int] = None,
+               remat_steps: bool = False,
                rngs: nnx.Rngs):
     act = _activation(activation)
     self.num_processor_repetitions = num_processor_repetitions
+    # jax.checkpoint around every processor message-passing step (dense
+    # path only; the streaming path remats internally per edge chunk).
+    self.remat_steps = remat_steps
     # Streamed edge processing: lax.scan over edge chunks, fusing edge
     # embedding + edge update + receiver aggregation so no [E, B, latent]
     # tensor is ever materialized. Only valid for single-step graphs whose
@@ -372,9 +376,17 @@ class TypedGraphNet(nnx.Module):
 
     for _ in range(self.num_processor_repetitions):
       for processor in self.processors:
-        upd_nodes, upd_edges = processor(nodes, edges, cond)
-        nodes = {k: nodes[k] + upd_nodes[k] for k in nodes}
-        edges = {k: edges[k] + upd_edges[k] for k in edges}
+        def step(nodes, edges, cond, _p=processor):
+          upd_nodes, upd_edges = _p(nodes, edges, cond)
+          return ({k: nodes[k] + upd_nodes[k] for k in nodes},
+                  {k: edges[k] + upd_edges[k] for k in edges})
+        if self.remat_steps:
+          # Per-step remat for deep unshared processors (GraphCast's 16
+          # multimesh MP steps at 0.25 degrees): the backward recomputes
+          # each step's edge/node MLP internals (~1.5 GB bf16 per step at
+          # paper scale) and keeps only the step-boundary latents.
+          step = jax.checkpoint(step)
+        nodes, edges = step(nodes, edges, cond)
 
     out_nodes = {k: (self.node_decoders[k](v)
                      if k in self._decoded_node_keys else v)

@@ -116,6 +116,33 @@ def test_m2g_edge_normalization_factor(setup):
                              rtol=1e-5, atol=1e-7)
 
 
+def test_remat_equivalence(setup):
+  """GraphCastConfig.remat (encoder/decoder whole-GNN remat + per-MP-step
+  remat in the processor) is a pure memory trade: loss and every gradient
+  leaf must match the unrematted model bitwise-ish (same op order in the
+  primal; AD recompute is the only difference)."""
+  statics, model = setup
+  inputs, targets, forcings = _data(statics, TINY_GC_TASK)
+  rem = gc.GraphCast(
+      TINY_GC_TASK, statics,
+      gc.GraphCastConfig(latent_size=32, gnn_msg_steps=3, remat=True),
+      rngs=nnx.Rngs(0))
+
+  def loss_fn(m):
+    loss, _ = m.loss(inputs, targets, forcings)
+    return loss.mean()
+
+  loss0, grads0 = nnx.value_and_grad(loss_fn)(model)
+  loss1, grads1 = nnx.value_and_grad(loss_fn)(rem)
+  np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
+  l0 = jax.tree_util.tree_leaves(grads0)
+  l1 = jax.tree_util.tree_leaves(grads1)
+  assert len(l0) == len(l1)
+  for a, b in zip(l0, l1):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=1e-6)
+
+
 def test_autoregressive_loss_gradients(setup):
   statics, model = setup
   stats = L.Stats.unit(set(TINY_GC_TASK.input_variables)
