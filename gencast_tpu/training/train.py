@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import functools
 import os
 import time
 
@@ -91,6 +92,13 @@ def parse_args(argv=None):
                       'multi-core hosts, 0 on <=2 cores (the A/B in '
                       'tools/ab_prefetch_onedeg.py measured the thread '
                       'as pure contention on a single-core host)')
+  p.add_argument('--data_workers', type=int, default=0,
+                 help='out-of-process batch-packing workers '
+                      '(data/workers.py, the scalable half of the '
+                      'reference Grain role); 0 packs in-process. Output '
+                      'batches are bitwise identical either way. Worth it '
+                      'only on multi-core hosts where packing outruns one '
+                      'core (e.g. 0.25-degree file reads on a TPU-VM)')
   # Parallelism (data axis; model/ensemble used by larger deployments).
   p.add_argument('--dp', type=int, default=1)
   p.add_argument('--mp', type=int, default=1)
@@ -248,19 +256,25 @@ def main(argv=None):
 
   # Data.
   task = model.task  # may differ from spec.task (e.g. graphcast variables)
+  # source_factory is the picklable recipe --data_workers ships to its
+  # packing processes (each worker builds its own source: h5py handles
+  # don't cross processes).
   if args.data == 'synthetic':
-    source = sources.SyntheticSource(task, statics.grid_lat,
-                                     statics.grid_lon,
-                                     num_times=max(40, args.batch_size * 8),
-                                     seed=args.seed)
+    source_factory = functools.partial(
+        sources.SyntheticSource, task, np.asarray(statics.grid_lat),
+        np.asarray(statics.grid_lon),
+        num_times=max(40, args.batch_size * 8), seed=args.seed)
   else:
     import glob as _glob
     if _glob.glob(os.path.join(args.data, 'era5_pressure_levels_*.nc')):
       from gencast_tpu.data import era5_netcdf
-      source = era5_netcdf.Era5NetCDFSource(args.data, task,
-                                            resolution_deg=spec.resolution_deg)
+      source_factory = functools.partial(
+          era5_netcdf.Era5NetCDFSource, args.data, task,
+          resolution_deg=spec.resolution_deg)
     else:
-      source = sources.Era5NpzSource(args.data, task)
+      source_factory = functools.partial(sources.Era5NpzSource, args.data,
+                                         task)
+  source = source_factory()
   print(f'[train] data source: {type(source).__name__}, '
         f'{len(source)} samples')
 
@@ -411,6 +425,24 @@ def main(argv=None):
       opt.update(m, grads)
       return loss, diags
 
+  # In-process vs out-of-process packing produce bitwise-identical batch
+  # streams (tests/test_data_workers.py); --data_workers only changes
+  # which cores do the packing.
+  packer = None
+
+  def make_iterator(rows=None):
+    nonlocal packer
+    if args.data_workers > 0:
+      from gencast_tpu.data import workers as workers_lib
+      packer = workers_lib.ParallelBatchIterator(
+          source_factory, args.batch_size, num_workers=args.data_workers,
+          seed=args.seed, rows=rows)
+      print(f'[train] packing batches in {args.data_workers} worker '
+            f'processes')
+      return packer
+    return sources.batch_iterator(source, args.batch_size, seed=args.seed,
+                                  rows=rows)
+
   if mesh is not None and jax.process_count() > 1 and ar_steps == 1:
     # Multi-host input sharding: every process draws the same global
     # permutation but PACKS only the batch rows its own devices hold —
@@ -419,8 +451,7 @@ def main(argv=None):
     # ~300 ms/step/host at 1 degree).
     local_rows, local_blocks = meshes.local_batch_plan(mesh,
                                                        args.batch_size)
-    it = sources.batch_iterator(source, args.batch_size, seed=args.seed,
-                                rows=local_rows)
+    it = make_iterator(rows=local_rows)
     print(f'[train] multihost input sharding: this process packs '
           f'{len(local_rows)}/{args.batch_size} batch rows')
 
@@ -429,7 +460,7 @@ def main(argv=None):
                                          local_blocks, batch)
   else:
     if ar_steps == 1:
-      it = sources.batch_iterator(source, args.batch_size, seed=args.seed)
+      it = make_iterator()
 
     def put(batch):
       if mesh is not None:
@@ -531,6 +562,8 @@ def main(argv=None):
   finally:
     if prefetcher is not None:
       prefetcher.close()
+    if packer is not None:
+      packer.close()
   sync_functional_state()
   if manager is not None:
     ckpt_lib.save(manager, args.steps - 1, wrapped, optimizer)
