@@ -172,7 +172,8 @@ def build_statics(spec: ModelSpec,
 
 def build_graphcast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
                     statics: Optional[compiler.GraphStatics] = None,
-                    cache_dir: Optional[str] = DEFAULT_CACHE_DIR):
+                    cache_dir: Optional[str] = DEFAULT_CACHE_DIR,
+                    **config_overrides):
   """Builds a GraphCast deterministic model from a ModelSpec.
 
   The registry's GenCast tasks are converted to the GraphCast variable set
@@ -181,7 +182,9 @@ def build_graphcast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
   the GraphCast variable conversion, not GenCast's variables through a GNN.
   Any other task (graphcast_13 / graphcast_37 / graphcast_13_precip_out or
   user-built) is used exactly as given. num_layers is interpreted as
-  gnn_msg_steps (reference default 16).
+  gnn_msg_steps (reference default 16). Extra keyword arguments override
+  GraphCastConfig fields (e.g. remat_group=4 for the 37-level 0.25-degree
+  configuration).
   """
   from gencast_tpu.models.graphcast import GraphCast, GraphCastConfig
   gencast_families = {
@@ -204,11 +207,13 @@ def build_graphcast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
         cache_dir=cache_dir)
   model = GraphCast(
       task, statics,
-      GraphCastConfig(latent_size=spec.d_model,
-                      gnn_msg_steps=spec.num_layers,
-                      hidden_layers=spec.hidden_layers,
-                      edge_chunk_size=spec.edge_chunk_size,
-                      remat=spec.remat_gnns),
+      dataclasses.replace(
+          GraphCastConfig(latent_size=spec.d_model,
+                          gnn_msg_steps=spec.num_layers,
+                          hidden_layers=spec.hidden_layers,
+                          edge_chunk_size=spec.edge_chunk_size,
+                          remat=spec.remat_gnns),
+          **config_overrides),
       rngs=rngs if rngs is not None else nnx.Rngs(0))
   return model, statics
 

@@ -48,6 +48,12 @@ class GraphCastConfig:
   # internals, the same trade DenoiserConfig.remat_gnns makes for the
   # GenCast encoder/decoder.
   remat: bool = False
+  # With remat on, group the processor steps into remat_group-sized
+  # nested-checkpoint blocks (sqrt-style hierarchical remat). 1 = flat
+  # per-step remat. 4 fits the 37-level published configuration at 0.25
+  # degrees on a 16GB chip, where flat remat's 16 live step boundaries
+  # (~480 MB node+edge latents each) exceed HBM by ~2.2 GB.
+  remat_group: int = 1
 
 
 # Reference loss weights (graphcast/graphcast.py:404-416).
@@ -164,6 +170,7 @@ class GraphCast(nnx.Module):
         embed_nodes=False,
         f32_aggregation=False,
         remat_steps=cfg.remat,
+        remat_group=cfg.remat_group,
         **common)
 
     self.mesh2grid = TypedGraphNet(

@@ -259,12 +259,17 @@ class TypedGraphNet(nnx.Module):
                aggregate_normalization: Optional[float] = None,
                edge_chunk_size: Optional[int] = None,
                remat_steps: bool = False,
+               remat_group: int = 1,
                rngs: nnx.Rngs):
     act = _activation(activation)
     self.num_processor_repetitions = num_processor_repetitions
     # jax.checkpoint around every processor message-passing step (dense
     # path only; the streaming path remats internally per edge chunk).
+    # remat_group > 1 nests those per-step checkpoints inside
+    # group-of-steps checkpoints (sqrt-style hierarchical remat) to
+    # shrink live step-boundary storage for deep unshared processors.
     self.remat_steps = remat_steps
+    self.remat_group = remat_group
     # Streamed edge processing: lax.scan over edge chunks, fusing edge
     # embedding + edge update + receiver aggregation so no [E, B, latent]
     # tensor is ever materialized. Only valid for single-step graphs whose
@@ -374,19 +379,38 @@ class TypedGraphNet(nnx.Module):
                  if k in self._embedded_edge_keys else v)
              for k, v in edges.items()}
 
-    for _ in range(self.num_processor_repetitions):
-      for processor in self.processors:
-        def step(nodes, edges, cond, _p=processor):
-          upd_nodes, upd_edges = _p(nodes, edges, cond)
-          return ({k: nodes[k] + upd_nodes[k] for k in nodes},
-                  {k: edges[k] + upd_edges[k] for k in edges})
-        if self.remat_steps:
-          # Per-step remat for deep unshared processors (GraphCast's 16
-          # multimesh MP steps at 0.25 degrees): the backward recomputes
-          # each step's edge/node MLP internals (~1.5 GB bf16 per step at
-          # paper scale) and keeps only the step-boundary latents.
-          step = jax.checkpoint(step)
-        nodes, edges = step(nodes, edges, cond)
+    def make_step(processor):
+      def step(nodes, edges, cond, _p=processor):
+        upd_nodes, upd_edges = _p(nodes, edges, cond)
+        return ({k: nodes[k] + upd_nodes[k] for k in nodes},
+                {k: edges[k] + upd_edges[k] for k in edges})
+      # Per-step remat for deep unshared processors (GraphCast's 16
+      # multimesh MP steps at 0.25 degrees): the backward recomputes
+      # each step's edge/node MLP internals (~1.5 GB bf16 per step at
+      # paper scale) and keeps only the step-boundary latents.
+      return jax.checkpoint(step) if self.remat_steps else step
+
+    seq = [p for _ in range(self.num_processor_repetitions)
+           for p in self.processors]
+    group = self.remat_group if self.remat_steps else 1
+    if group <= 1:
+      for processor in seq:
+        nodes, edges = make_step(processor)(nodes, edges, cond)
+    else:
+      # Hierarchical (sqrt-style) rematerialization: nested checkpoints
+      # over GROUPS of steps cut the forward's live step-boundary
+      # storage from num_steps boundaries to num_groups + group_size
+      # (each boundary is the full loop-carried node+edge latent state —
+      # ~480 MB bf16 per step at GraphCast-0.25-degree scale, which is
+      # what OOM'd the 37-level published configuration under flat
+      # per-step remat). Cost: one extra forward recompute of each step
+      # during the backward.
+      for start in range(0, len(seq), group):
+        def run_group(nodes, edges, cond, _ps=tuple(seq[start:start + group])):
+          for p in _ps:
+            nodes, edges = make_step(p)(nodes, edges, cond)
+          return nodes, edges
+        nodes, edges = jax.checkpoint(run_group)(nodes, edges, cond)
 
     out_nodes = {k: (self.node_decoders[k](v)
                      if k in self._decoded_node_keys else v)

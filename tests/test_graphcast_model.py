@@ -116,16 +116,20 @@ def test_m2g_edge_normalization_factor(setup):
                              rtol=1e-5, atol=1e-7)
 
 
-def test_remat_equivalence(setup):
+@pytest.mark.parametrize('remat_group', [1, 2])
+def test_remat_equivalence(setup, remat_group):
   """GraphCastConfig.remat (encoder/decoder whole-GNN remat + per-MP-step
   remat in the processor) is a pure memory trade: loss and every gradient
   leaf must match the unrematted model bitwise-ish (same op order in the
-  primal; AD recompute is the only difference)."""
+  primal; AD recompute is the only difference). remat_group=2 over 3 MP
+  steps exercises the nested (hierarchical) checkpoints including the
+  ragged trailing group."""
   statics, model = setup
   inputs, targets, forcings = _data(statics, TINY_GC_TASK)
   rem = gc.GraphCast(
       TINY_GC_TASK, statics,
-      gc.GraphCastConfig(latent_size=32, gnn_msg_steps=3, remat=True),
+      gc.GraphCastConfig(latent_size=32, gnn_msg_steps=3, remat=True,
+                         remat_group=remat_group),
       rngs=nnx.Rngs(0))
 
   def loss_fn(m):
