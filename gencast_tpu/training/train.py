@@ -32,6 +32,14 @@ def parse_args(argv=None):
                  choices=['tiny', 'nano', '1deg', '0.25deg'])
   p.add_argument('--ar_steps', type=int, default=1,
                  help='autoregressive training steps (graphcast only)')
+  p.add_argument('--task', default=None,
+                 help='registry task name overriding the preset task '
+                      '(e.g. graphcast_37 for the full published '
+                      '37-level GraphCast configuration)')
+  p.add_argument('--remat_group', type=int, default=1,
+                 help='graphcast only: nested-checkpoint group size for '
+                      'the processor MP steps (hierarchical remat; 4 '
+                      'fits the 37-level 0.25deg config on a 16GB chip)')
   p.add_argument('--data', default='synthetic',
                  help="'synthetic' or a directory of era5 npz shards")
   p.add_argument('--steps', type=int, default=30000)
@@ -120,8 +128,11 @@ def parse_args(argv=None):
 
 def build_spec(args):
   from gencast_tpu import configs
+  from gencast_tpu.data import registry
   spec = configs.SPECS[args.preset]
   overrides = {}
+  if getattr(args, 'task', None):
+    overrides['task'] = registry.TASKS[args.task]
   if args.mesh_size is not None:
     overrides['mesh_splits'] = args.mesh_size
   for field in ('d_model', 'num_layers', 'num_heads', 'attention_k_hop',
@@ -250,7 +261,8 @@ def main(argv=None):
         f'layers={spec.num_layers} attention={spec.attention_type}')
 
   if args.model == 'graphcast':
-    model, statics = configs.build_graphcast(spec, rngs=nnx.Rngs(args.seed))
+    model, statics = configs.build_graphcast(
+        spec, rngs=nnx.Rngs(args.seed), remat_group=args.remat_group)
   else:
     model, statics = configs.build_gencast(spec, rngs=nnx.Rngs(args.seed))
 
