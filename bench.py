@@ -30,6 +30,10 @@ Metrics:
                                  latent 512, 16 MP steps, per-step remat);
                                  NOT in the default section list — run
                                  with BENCH_SECTIONS=graphcast_qdeg
+  graphcast37_qdeg_train_step_sec — the FULL published configuration
+                                 (0.25 degrees, 37 ERA5 levels,
+                                 hierarchical remat_group=4); opt-in via
+                                 BENCH_SECTIONS=graphcast_qdeg37
 
 Every timed metric gets *_tflops / *_mfu companions (analytic model
 FLOPs, gencast_tpu/training/flops.py, vs the v5e bf16 peak).
@@ -60,7 +64,7 @@ Knobs:
   BENCH_SECTIONS   comma list from {tiny,nano,onedeg,qdeg,nano_sampler,
                    onedeg_sampler,onedeg_rollout30,graphcast,
                    graphcast_onedeg,qdeg_sampler,graphcast_qdeg,
-                   tiny_rollout3,tiny_graphcast},
+                   graphcast_qdeg37,tiny_rollout3,tiny_graphcast},
                    ordered by priority (default 'nano,onedeg,qdeg,
                    nano_sampler,onedeg_sampler,onedeg_rollout30,
                    graphcast,graphcast_onedeg,qdeg_sampler' — the
@@ -350,29 +354,37 @@ def bench_rollout30(spec, tag, num_steps=30):
           fwd, spec.num_noise_levels).total, t)
 
 
-def bench_quarterdeg():
-  """0.25-degree train step: bf16 + donated state (no scan chaining —
-  the step itself is seconds long, far above relay dispatch noise)."""
+def bench_big_train(tag, prefix, spec, builder=None, **build_kwargs):
+  """Shared scaffold for the near-capacity train-step sections (the
+  0.25-degree GenCast / GraphCast configs). No scan chaining — the step
+  itself is seconds long, far above relay dispatch noise — and a
+  float(loss) scalar readback per step (jax.block_until_ready does NOT
+  bound wall time through the relay; dev notes, round 4). Each caller
+  gets its own child process (near-capacity HBM rule, see main).
+
+  build_kwargs pass through to the builder (e.g. remat_group=4 for the
+  37-level published GraphCast configuration; tools/gc37_qdeg.py)."""
   import flax.nnx as nnx
   import jax
   import jax.numpy as jnp
 
   from gencast_tpu import configs
-  from gencast_tpu.models import casting
+  from gencast_tpu.models import casting, wrappers
+  from gencast_tpu.training import flops as flops_lib
   from gencast_tpu.training import steps
 
   _probe()
   t0 = time.time()
-  model, statics = configs.build_gencast(configs.QUARTER_DEG,
-                                         rngs=nnx.Rngs(0))
+  build = builder if builder is not None else configs.build_gencast
+  model, statics = build(spec, rngs=nnx.Rngs(0), **build_kwargs)
   model = casting.Bfloat16Cast(model)
-  print(f'[qdeg] model build: {time.time()-t0:.1f}s', file=sys.stderr)
+  print(f'[{tag}] model build: {time.time()-t0:.1f}s', file=sys.stderr)
   t0 = time.time()
   opt = steps.create_optimizer(model, steps.OptimizerConfig())
   step_fn, state = steps.functional_train_step(model, opt)
-  print(f'[qdeg] optimizer+state: {time.time()-t0:.1f}s', file=sys.stderr)
+  print(f'[{tag}] optimizer+state: {time.time()-t0:.1f}s', file=sys.stderr)
 
-  d = model.predictor.denoiser
+  d = wrappers.find_layout_provider(model)
   nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
   t0 = time.time()
 
@@ -386,71 +398,12 @@ def bench_quarterdeg():
   targets = arr(d.target_layout.num_channels, 1)
   forcings = arr(d.forcing_layout.num_channels, 2)
   jax.block_until_ready(forcings)
-  print(f'[qdeg] inputs: {time.time()-t0:.1f}s', file=sys.stderr)
+  print(f'[{tag}] inputs: {time.time()-t0:.1f}s', file=sys.stderr)
   key = jax.random.PRNGKey(0)
 
   t0 = time.time()
   state, loss, _ = step_fn(state, inputs, targets, forcings, key)
-  print(f'[qdeg] compile+run: {time.time()-t0:.1f}s '
-        f'loss={float(loss):.3f}', file=sys.stderr)
-  ts = []
-  for i in range(3):
-    t0 = time.time()
-    state, loss, _ = step_fn(state, inputs, targets, forcings,
-                             jax.random.fold_in(key, i + 1))
-    jax.block_until_ready(loss)
-    ts.append(time.time() - t0)
-    if _deadline_remaining() < 3 * ts[-1]:
-      break  # land the metric with the reps that fit the budget
-  _emit('quarterdeg_train_step_sec', min(ts), 's/step')
-  from gencast_tpu.training import flops as flops_lib
-  fwd = flops_lib.denoiser_forward_flops(configs.QUARTER_DEG, statics,
-                                         task=d.task)
-  _emit_mfu('quarterdeg_train',
-            flops_lib.train_step_flops(fwd).total, min(ts))
-
-
-def bench_graphcast_qdeg():
-  """GraphCast training step at the published model's 0.25-degree scale
-  (graphcast/graphcast.py:174-201: splits=6 multimesh, latent 512, 16
-  unshared MP steps; 13-level task per the preset conversion). Memory
-  plan: bf16 + donated state + streamed encoder/decoder edges
-  (edge_chunk_size) + whole-GNN encoder/decoder remat + per-MP-step
-  processor remat (GraphCastConfig.remat — 16 x ~1.5 GB of unshared MLP
-  residuals otherwise). Own child process (near-capacity HBM rule)."""
-  import flax.nnx as nnx
-  import jax
-  import jax.numpy as jnp
-
-  from gencast_tpu import configs
-  from gencast_tpu.models import casting
-  from gencast_tpu.training import steps
-
-  _probe()
-  t0 = time.time()
-  model, statics = configs.build_graphcast(configs.QUARTER_DEG,
-                                           rngs=nnx.Rngs(0))
-  model = casting.Bfloat16Cast(model)
-  print(f'[graphcast_qdeg] model build: {time.time()-t0:.1f}s',
-        file=sys.stderr)
-  opt = steps.create_optimizer(model, steps.OptimizerConfig())
-  step_fn, state = steps.functional_train_step(model, opt)
-
-  d = model.predictor
-  nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
-
-  def arr(c, i):
-    return jax.random.normal(jax.random.PRNGKey(i), (1, nlat, nlon, c),
-                             jnp.float32)
-
-  inputs = arr(d.input_layout.num_channels, 0)
-  targets = arr(d.target_layout.num_channels, 1)
-  forcings = arr(d.forcing_layout.num_channels, 2)
-  key = jax.random.PRNGKey(0)
-
-  t0 = time.time()
-  state, loss, _ = step_fn(state, inputs, targets, forcings, key)
-  print(f'[graphcast_qdeg] compile+run: {time.time()-t0:.1f}s '
+  print(f'[{tag}] compile+run: {time.time()-t0:.1f}s '
         f'loss={float(loss):.3f}', file=sys.stderr)
   ts = []
   for i in range(3):
@@ -460,13 +413,51 @@ def bench_graphcast_qdeg():
     float(loss)  # scalar readback bounds the wall (block_until_ready lies)
     ts.append(time.time() - t0)
     if _deadline_remaining() < 3 * ts[-1]:
-      break
-  _emit('graphcast_qdeg_train_step_sec', min(ts), 's/step')
-  from gencast_tpu.training import flops as flops_lib
-  fwd = flops_lib.graphcast_forward_flops(configs.QUARTER_DEG, statics,
-                                          task=d.task)
-  _emit_mfu('graphcast_qdeg_train',
-            flops_lib.train_step_flops(fwd).total, min(ts))
+      break  # land the metric with the reps that fit the budget
+  print(f'[{tag}] train step: {min(ts):.3f}s '
+        f'(best of {len(ts)}; all {[round(t, 3) for t in ts]})',
+        file=sys.stderr)
+  _emit(f'{prefix}_train_step_sec', min(ts), 's/step')
+  if builder is configs.build_graphcast:
+    fwd = flops_lib.graphcast_forward_flops(spec, statics, task=d.task)
+  else:
+    fwd = flops_lib.denoiser_forward_flops(spec, statics, task=d.task)
+  _emit_mfu(f'{prefix}_train', flops_lib.train_step_flops(fwd).total,
+            min(ts))
+
+
+def bench_quarterdeg():
+  """0.25-degree train step: bf16 + donated state."""
+  from gencast_tpu import configs
+  bench_big_train('qdeg', 'quarterdeg', configs.QUARTER_DEG)
+
+
+def bench_graphcast_qdeg():
+  """GraphCast training step at the published model's 0.25-degree scale
+  (graphcast/graphcast.py:174-201: splits=6 multimesh, latent 512, 16
+  unshared MP steps; 13-level task per the preset conversion). Memory
+  plan: bf16 + donated state + streamed encoder/decoder edges
+  (edge_chunk_size) + whole-GNN encoder/decoder remat + per-MP-step
+  processor remat (GraphCastConfig.remat — 16 x ~1.5 GB of unshared MLP
+  residuals otherwise)."""
+  from gencast_tpu import configs
+  bench_big_train('graphcast_qdeg', 'graphcast_qdeg', configs.QUARTER_DEG,
+                  builder=configs.build_graphcast)
+
+
+def bench_graphcast_qdeg37():
+  """The FULL published GraphCast configuration: 0.25 degrees, all 37
+  ERA5 levels (in=466/tgt=227 channels), latent 512, 16 MP steps —
+  hierarchical remat (remat_group=4; flat per-step remat OOMs by 2.17GB
+  here, the 16 loop-carried step boundaries are ~480MB bf16 each)."""
+  import dataclasses
+
+  from gencast_tpu import configs
+  from gencast_tpu.data import registry
+  spec = dataclasses.replace(configs.QUARTER_DEG,
+                             task=registry.GRAPHCAST_TASK_37)
+  bench_big_train('gc37', 'graphcast37_qdeg', spec,
+                  builder=configs.build_graphcast, remat_group=4)
 
 
 def bench_qdeg_sampler():
@@ -548,6 +539,8 @@ def _dispatch(name: str) -> None:
     bench_qdeg_sampler()
   elif name == 'graphcast_qdeg':
     bench_graphcast_qdeg()
+  elif name == 'graphcast_qdeg37':
+    bench_graphcast_qdeg37()
   elif name == 'tiny_graphcast':
     bench_model(configs.TINY, 'tiny_graphcast', train_reps=3,
                 sampler=False, builder=configs.build_graphcast)
@@ -642,7 +635,8 @@ def main():
   # buffers from earlier sections in the same process are not reliably
   # released through the relay (jax.clear_caches + gc still OOM'd the
   # 0.25-degree step; a fresh process reproducibly fits).
-  heavy = {'qdeg', 'qdeg_sampler', 'graphcast_onedeg', 'graphcast_qdeg'}
+  heavy = {'qdeg', 'qdeg_sampler', 'graphcast_onedeg', 'graphcast_qdeg',
+           'graphcast_qdeg37'}
   groups, cur = [], []
   for n in names:
     if n in heavy:

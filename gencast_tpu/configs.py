@@ -184,9 +184,14 @@ def build_graphcast(spec: ModelSpec, *, rngs: Optional[nnx.Rngs] = None,
   user-built) is used exactly as given. num_layers is interpreted as
   gnn_msg_steps (reference default 16). Extra keyword arguments override
   GraphCastConfig fields (e.g. remat_group=4 for the 37-level 0.25-degree
-  configuration).
+  configuration). An explicit remat_group > 1 implies remat=True —
+  grouped processor remat is meaningless with remat off, and silently
+  dropping it would defeat its memory-fitting purpose.
   """
   from gencast_tpu.models.graphcast import GraphCast, GraphCastConfig
+  if (config_overrides.get('remat_group', 1) > 1
+      and 'remat' not in config_overrides and not spec.remat_gnns):
+    config_overrides = dict(config_overrides, remat=True)
   gencast_families = {
       dataclasses.replace(t, pressure_levels=())
       for t in (registry.GENCAST_TASK, registry.GENCAST_TASK_FULL)}

@@ -274,11 +274,15 @@ class Era5NpzSource(WindowedSource):
 # ---------------------------------------------------------------------------
 
 
-def batch_iterator(source: WindowedSource, batch_size: int, *,
-                   shuffle: bool = True, seed: int = 0,
-                   loop: bool = True,
-                   rows=None) -> Iterator[Dict[str, np.ndarray]]:
-  """Yields dicts of stacked numpy batches: inputs/targets/forcings.
+def selection_stream(n: int, batch_size: int, *, shuffle: bool = True,
+                     seed: int = 0, loop: bool = True,
+                     rows=None) -> Iterator[np.ndarray]:
+  """The window-index selection stream behind `batch_iterator`.
+
+  Yields one array of window indices per batch. Shared with the
+  out-of-process `data.workers.ParallelBatchIterator` so the two iterators
+  stay bitwise-identical by construction (same seed -> same permutations
+  -> same selections), not by hand-maintained duplication.
 
   rows: optional sequence of batch-row positions to materialize (multi-
   host training: each process packs only the rows its devices own). The
@@ -286,8 +290,6 @@ def batch_iterator(source: WindowedSource, batch_size: int, *,
   processes slicing different rows of the same seed see one consistent
   global batch — and pay only their share of the host packing cost.
   """
-  rng = np.random.default_rng(seed)
-  n = len(source)
   if n == 0 or batch_size > n:
     raise ValueError(
         f'source has {n} sample windows; cannot serve batch_size='
@@ -300,20 +302,34 @@ def batch_iterator(source: WindowedSource, batch_size: int, *,
       raise ValueError(
           'rows is empty: this process owns no batch rows under the '
           'requested data-parallel layout (see meshes.local_batch_plan)')
+  rng = np.random.default_rng(seed)
   while True:
     idx = rng.permutation(n) if shuffle else np.arange(n)
     for start in range(0, n - batch_size + 1, batch_size):
       sel = idx[start:start + batch_size]
       if rows is not None:
         sel = sel[rows]
-      ws = [source.sample(int(i)) for i in sel]
-      yield {
-          'inputs': np.stack([w.inputs for w in ws]),
-          'targets': np.stack([w.targets for w in ws]),
-          'forcings': np.stack([w.forcings for w in ws]),
-      }
+      yield sel
     if not loop:
       return
+
+
+def batch_iterator(source: WindowedSource, batch_size: int, *,
+                   shuffle: bool = True, seed: int = 0,
+                   loop: bool = True,
+                   rows=None) -> Iterator[Dict[str, np.ndarray]]:
+  """Yields dicts of stacked numpy batches: inputs/targets/forcings.
+
+  See `selection_stream` for the rows (multi-host) semantics.
+  """
+  for sel in selection_stream(len(source), batch_size, shuffle=shuffle,
+                              seed=seed, loop=loop, rows=rows):
+    ws = [source.sample(int(i)) for i in sel]
+    yield {
+        'inputs': np.stack([w.inputs for w in ws]),
+        'targets': np.stack([w.targets for w in ws]),
+        'forcings': np.stack([w.forcings for w in ws]),
+    }
 
 
 def compute_stats(source: WindowedSource,
@@ -384,8 +400,8 @@ def _read_stats_netcdf(path: str, pressure_levels) -> Dict[str, np.ndarray]:
   """One {mean,stddev,diffs_stddev}_by_level.nc -> {var: scalar or [L]}.
 
   Surface variables are 0-d scalars; atmospheric variables carry a 'level'
-  dimension, subselected (nearest) to the task's pressure levels so the
-  table indexes by level POSITION like compute_stats' output.
+  dimension, subselected (exact match required) to the task's pressure
+  levels so the table indexes by level POSITION like compute_stats' output.
   """
   import h5py
 
@@ -400,8 +416,19 @@ def _read_stats_netcdf(path: str, pressure_levels) -> Dict[str, np.ndarray]:
         level = np.asarray(f[raw][...], np.float64)
     lvl_sel = None
     if pressure_levels is not None and level is not None:
-      lvl_sel = np.asarray([int(np.argmin(np.abs(level - l)))
-                            for l in pressure_levels])
+      # Exact matches only: silently taking the NEAREST level would hand
+      # the task wrong per-level normalization with no error (e.g. a
+      # 37-level task against a 13-level stats file).
+      idx = [int(np.argmin(np.abs(level - l))) for l in pressure_levels]
+      missing = [int(l) for l, i in zip(pressure_levels, idx)
+                 if abs(level[i] - l) > 1e-6]
+      if missing:
+        raise ValueError(
+            f'{os.path.basename(path)} has levels '
+            f'{[int(l) for l in level]}; the task requests levels '
+            f'{missing} that are not in the file — refusing to '
+            f'substitute nearest-level statistics')
+      lvl_sel = np.asarray(idx)
     for raw in f.keys():
       dset = f[raw]
       if dset.attrs.get('CLASS') == b'DIMENSION_SCALE':

@@ -95,13 +95,9 @@ class ParallelBatchIterator:
                mp_context: str = 'spawn'):
     if num_workers < 1:
       raise ValueError(f'num_workers must be >= 1, got {num_workers}')
-    if rows is not None:
-      rows = np.asarray(rows)
-      if rows.size == 0:
-        raise ValueError(
-            'rows is empty: this process owns no batch rows under the '
-            'requested data-parallel layout (see meshes.local_batch_plan)')
-    self._rows = rows
+    if num_target_frames < 1:
+      raise ValueError(
+          f'num_target_frames must be >= 1, got {num_target_frames}')
     self._batch_size = batch_size
     self._num_target_frames = num_target_frames
     self._closed = False
@@ -110,12 +106,16 @@ class ParallelBatchIterator:
         mp_context=multiprocessing.get_context(mp_context),
         initializer=_init_worker, initargs=(source_factory,))
     try:
-      n = self._pool.submit(_source_len).result()
-      if n == 0 or batch_size > n:
-        raise ValueError(
-            f'source has {n} sample windows; cannot serve batch_size='
-            f'{batch_size}')
-      self._sel_iter = self._selections(n, batch_size, shuffle, seed, loop)
+      # len(source) counts 1-target-frame windows; a K-frame window needs
+      # K-1 extra trailing timestamps, so the last K-1 start indices are
+      # invalid (same adjustment as train.py's in-process AR iterator).
+      n = self._pool.submit(_source_len).result() - (num_target_frames - 1)
+      # The selection stream is SHARED with sources.batch_iterator, so for
+      # num_target_frames=1 output batches are bitwise identical to the
+      # in-process iterator by construction
+      # (tests/test_data_workers.py pins that oracle).
+      self._sel_iter = sources_lib.selection_stream(
+          n, batch_size, shuffle=shuffle, seed=seed, loop=loop, rows=rows)
       self._pending: collections.deque = collections.deque()
       self._depth = in_flight if in_flight is not None else num_workers + 2
       if self._depth < 1:
@@ -124,20 +124,6 @@ class ParallelBatchIterator:
     except BaseException:
       self._pool.shutdown(wait=False, cancel_futures=True)
       raise
-
-  def _selections(self, n, batch_size, shuffle, seed, loop):
-    # MUST mirror sources.batch_iterator:289-316 step for step — the
-    # bitwise-equality oracle in tests/test_data_workers.py depends on it.
-    rng = np.random.default_rng(seed)
-    while True:
-      idx = rng.permutation(n) if shuffle else np.arange(n)
-      for start in range(0, n - batch_size + 1, batch_size):
-        sel = idx[start:start + batch_size]
-        if self._rows is not None:
-          sel = sel[self._rows]
-        yield sel
-      if not loop:
-        return
 
   def _fill(self) -> None:
     while len(self._pending) < self._depth:

@@ -391,6 +391,12 @@ def main(argv=None):
   if args.steps_per_call > 1 and not fused:
     print('[train] fused steps_per_call requires gencast, batch_size=1, '
           'ar_steps=1, no mesh; falling back to per-step dispatch')
+  if args.data_workers > 0 and (fused or ar_steps > 1):
+    # Neither path reaches make_iterator; say so instead of silently
+    # packing in-process.
+    mode = 'fused steps_per_call' if fused else 'AR (ar_steps > 1)'
+    print(f'[train] --data_workers is ignored in {mode} mode; '
+          f'batches are packed in-process')
   if fused:
     _run_fused(args, source, wrapped, optimizer, manager, sink, start_step)
     return

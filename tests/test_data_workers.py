@@ -65,6 +65,18 @@ def test_rows_slicing_and_looping_match():
   assert got[0]['inputs'].shape[0] == 2  # only the owned rows are packed
 
 
+def test_multi_frame_windows_do_not_overrun():
+  """num_target_frames=K has K-1 fewer valid start indices (a K-frame
+  window needs K-1 extra trailing timestamps): a full epoch must pack
+  without an end-of-source overrun, and every window carries K frames."""
+  n = len(FACTORY())
+  with ParallelBatchIterator(FACTORY, 1, num_workers=1, shuffle=False,
+                             seed=0, loop=False, num_target_frames=2) as it:
+    got = list(it)
+  assert len(got) == n - 1
+  assert got[0]['targets'].shape[1] == 2
+
+
 def test_worker_exception_surfaces_and_closes():
   with ParallelBatchIterator(BOOM_FACTORY, 1, num_workers=1) as it:
     with pytest.raises(RuntimeError, match='disk on fire'):

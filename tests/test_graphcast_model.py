@@ -147,6 +147,22 @@ def test_remat_equivalence(setup, remat_group):
                                rtol=2e-5, atol=1e-6)
 
 
+def test_build_graphcast_remat_group_implies_remat():
+  """An explicit remat_group override must not be a silent no-op on specs
+  whose preset leaves remat off (e.g. `train.py --preset 1deg
+  --remat_group 4`): grouping requires remat, so it implies it."""
+  from gencast_tpu import configs
+  assert not configs.TINY.remat_gnns
+  model, _ = configs.build_graphcast(configs.TINY, rngs=nnx.Rngs(0),
+                                     remat_group=2)
+  assert model.mesh_gnn.remat_steps
+  assert model.mesh_gnn.remat_group == 2
+  # An EXPLICIT remat=False is respected over the implication.
+  model2, _ = configs.build_graphcast(configs.TINY, rngs=nnx.Rngs(0),
+                                      remat_group=2, remat=False)
+  assert not model2.mesh_gnn.remat_steps
+
+
 def test_autoregressive_loss_gradients(setup):
   statics, model = setup
   stats = L.Stats.unit(set(TINY_GC_TASK.input_variables)

@@ -71,6 +71,13 @@ def test_unprefixed_graphcast_names(tmp_path):
   assert stats.mean['temperature'].shape == (6,)
 
 
+def test_absent_level_raises_instead_of_nearest(stats_dir):
+  """A task level missing from the stats file must be an error, not a
+  silent nearest-level substitution (wrong normalization)."""
+  with pytest.raises(ValueError, match='125'):
+    sources.load_stats_netcdf(stats_dir, (125, 500, 850))
+
+
 def test_missing_files_raise_with_names(tmp_path):
   with pytest.raises(FileNotFoundError, match='gencast_stats_mean'):
     sources.load_stats_netcdf(str(tmp_path), LEVELS_6)
