@@ -50,7 +50,7 @@ Driver contract (this script is run unattended under an external
 timeout): all sections run in ONE child process (a fresh process pays a
 60-160s relay stall on its first device op, so per-section children
 wasted minutes) with a deadline derived from BENCH_BUDGET_S (default
-840 s of total wall clock); the section list is ordered by metric
+1200 s of total wall clock); the section list is ordered by metric
 priority (train-step metrics before the sampler metrics, which rebuild
 their models in dedicated trailing sections), each section is attempted
 while a minimal time floor remains, a hang (e.g. a stuck TPU relay
