@@ -47,10 +47,13 @@ elided). The samplers are already 39-call on-device loops, timed wall-
 clock post-warmup.
 
 Driver contract (this script is run unattended under an external
-timeout): all sections run in ONE child process (a fresh process pays a
-60-160s relay stall on its first device op, so per-section children
-wasted minutes) with a deadline derived from BENCH_BUDGET_S (default
-1200 s of total wall clock); the section list is ordered by metric
+timeout): sections run in as FEW child processes as possible (a fresh
+process pays a 60-160s relay stall on its first device op, so
+per-section children wasted minutes) — except the near-chip-capacity
+sections (qdeg, qdeg_sampler, graphcast_onedeg/qdeg), which each get a
+child of their OWN because buffers from earlier sections are not
+reliably released through the relay — with a deadline derived from
+BENCH_BUDGET_S (default 1200 s of total wall clock); the section list is ordered by metric
 priority (train-step metrics before the sampler metrics, which rebuild
 their models in dedicated trailing sections), each section is attempted
 while a minimal time floor remains, a hang (e.g. a stuck TPU relay
