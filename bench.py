@@ -25,6 +25,9 @@ Metrics:
   qdeg_sampler_sec             — one 0.25-degree forecast step (39
                                  denoiser calls, bf16), fresh child
                                  process — round-5 VERDICT item 4
+  graphcast_onedeg_predict_ms  — one deterministic GraphCast forecast
+                                 step at 1 degree (differenced fused AR
+                                 rollout: predict + frame advance)
   graphcast_qdeg_train_step_sec — GraphCast at the published model's
                                  0.25-degree scale (splits=6 multimesh,
                                  latent 512, 16 MP steps, per-step remat);
@@ -66,14 +69,16 @@ Knobs:
   BENCH_BUDGET_S   total wall-clock budget, seconds (default 1200)
   BENCH_SECTIONS   comma list from {tiny,nano,onedeg,qdeg,nano_sampler,
                    onedeg_sampler,onedeg_rollout30,graphcast,
-                   graphcast_onedeg,qdeg_sampler,graphcast_qdeg,
-                   graphcast_qdeg37,tiny_rollout3,tiny_graphcast},
+                   graphcast_onedeg,qdeg_sampler,graphcast_onedeg_predict,
+                   graphcast_qdeg,graphcast_qdeg37,tiny_rollout3,
+                   tiny_graphcast,tiny_graphcast_predict},
                    ordered by priority (default 'nano,onedeg,qdeg,
                    nano_sampler,onedeg_sampler,onedeg_rollout30,
-                   graphcast,graphcast_onedeg,qdeg_sampler' — the
-                   round-4 metric set first, so a slow relay day drops
-                   only the round-5 tail; 'tiny*' are the CPU-sized
-                   configs the test tier uses to exercise this plumbing)
+                   graphcast,graphcast_onedeg,qdeg_sampler,
+                   graphcast_onedeg_predict' — the round-4 metric set
+                   first, so a slow relay day drops only the round-5
+                   tail; 'tiny*' are the CPU-sized configs the test tier
+                   uses to exercise this plumbing)
   BENCH_SKIP_1DEG / BENCH_SKIP_QDEG  legacy single-section skips
 """
 
@@ -357,6 +362,72 @@ def bench_rollout30(spec, tag, num_steps=30):
           fwd, spec.num_noise_levels).total, t)
 
 
+def bench_graphcast_predict(spec, tag, reps=9):
+  """Marginal latency of ONE deterministic GraphCast forecast step: a
+  fused AR rollout (rollout.rollout — predict() + on-device frame
+  advance inside one lax.scan), differenced 1-rep vs reps-rep with a
+  scalar readback (per-call dispatch timings lie through the relay).
+  Completes the family's metric matrix: train steps are benched at
+  nano/1deg/0.25deg scale, and this is the inference path a reference
+  user would drive via common/rollout.py:245-376 (unrunnable there —
+  graphcast.py never constructs)."""
+  import flax.nnx as nnx
+  import jax
+  import jax.numpy as jnp
+
+  from gencast_tpu import configs
+  from gencast_tpu import rollout as rollout_lib
+  from gencast_tpu.data import layout as layout_lib
+  from gencast_tpu.models import wrappers
+  from gencast_tpu.training import flops as flops_lib
+
+  _probe()
+  t0 = time.time()
+  model, statics = configs.build_graphcast(spec, rngs=nnx.Rngs(0))
+  if spec.cast_bf16:
+    from gencast_tpu.models import casting
+    model = casting.Bfloat16Cast(model)
+  print(f'[{tag}] model build: {time.time()-t0:.1f}s', file=sys.stderr)
+  d = wrappers.find_layout_provider(model)
+  nlat, nlon = statics.grid_lat.shape[0], statics.grid_lon.shape[0]
+  inputs = jax.random.normal(jax.random.PRNGKey(0),
+                             (1, nlat, nlon, d.input_layout.num_channels),
+                             jnp.float32)
+  maps = layout_lib.rollout_maps(d.input_layout, d.target_layout,
+                                 d.forcing_layout)
+  graphdef, state = nnx.split(model)
+
+  @jax.jit
+  def run(state, x, forcings, key):
+    m = nnx.merge(graphdef, state)
+    preds = rollout_lib.rollout(lambda xx, ff, kk: m.predict(xx, ff),
+                                x, forcings, maps, key)
+    return preds.sum()
+
+  key = jax.random.PRNGKey(0)
+
+  def frc(n, i):
+    # jit ARGUMENT, not a closure capture (big baked-in constants trip
+    # the relay's HTTP 413 payload limit; dev notes, round 3).
+    return jax.random.normal(
+        jax.random.PRNGKey(100 + i),
+        (n, 1, nlat, nlon, d.forcing_layout.num_channels), jnp.float32)
+
+  t0 = time.time()
+  t1 = _timed(run, lambda i: (state, inputs + float(i), frc(1, i), key))
+  tns = _timed_all(run,
+                   lambda i: (state, inputs + float(i), frc(reps, i), key))
+  print(f'[{tag}] predict phase wall: {time.time()-t0:.1f}s',
+        file=sys.stderr)
+  dts = sorted((tn - t1) / (reps - 1) for tn in tns)
+  dt = dts[0]
+  print(f'[{tag}] predict step: {dt*1000:.1f} ms (best of {len(dts)}; '
+        f'spread {dts[0]*1000:.1f}..{dts[-1]*1000:.1f})', file=sys.stderr)
+  _emit(f'{tag}_predict_ms', dt * 1000, 'ms/forecast-step')
+  fwd = flops_lib.graphcast_forward_flops(spec, statics, task=d.task)
+  _emit_mfu(f'{tag}_predict', fwd.total, dt)
+
+
 def bench_big_train(tag, prefix, spec, builder=None, **build_kwargs):
   """Shared scaffold for the near-capacity train-step sections (the
   0.25-degree GenCast / GraphCast configs). No scan chaining — the step
@@ -540,6 +611,10 @@ def _dispatch(name: str) -> None:
                 sampler=False, builder=configs.build_graphcast)
   elif name == 'qdeg_sampler':
     bench_qdeg_sampler()
+  elif name == 'graphcast_onedeg_predict':
+    bench_graphcast_predict(configs.ONE_DEG, 'graphcast_onedeg')
+  elif name == 'tiny_graphcast_predict':
+    bench_graphcast_predict(configs.TINY, 'tiny_graphcast', reps=3)
   elif name == 'graphcast_qdeg':
     bench_graphcast_qdeg()
   elif name == 'graphcast_qdeg37':
@@ -619,7 +694,7 @@ def main():
   names = os.environ.get(
       'BENCH_SECTIONS',
       'nano,onedeg,qdeg,nano_sampler,onedeg_sampler,onedeg_rollout30,'
-      'graphcast,graphcast_onedeg,qdeg_sampler'
+      'graphcast,graphcast_onedeg,qdeg_sampler,graphcast_onedeg_predict'
   ).split(',')
   names = [n.strip() for n in names if n.strip()]
   if os.environ.get('BENCH_SKIP_1DEG'):

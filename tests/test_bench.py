@@ -55,6 +55,18 @@ def test_bench_budget_guard_skips_gracefully():
   assert not [l for l in r.stdout.splitlines() if l.startswith('{')]
 
 
+def test_bench_graphcast_predict_section_runs_on_cpu():
+  """Pins the graphcast_onedeg_predict plumbing (build_graphcast +
+  Bfloat16Cast.predict + rollout_maps frame advance through the
+  differenced fused-rollout timing) at the tiny CPU scale."""
+  r = _run('tiny_graphcast_predict', budget='240', timeout=300)
+  assert r.returncode == 0, f'STDOUT:\n{r.stdout}\nSTDERR:\n{r.stderr}'
+  lines = [json.loads(l) for l in r.stdout.splitlines() if l.startswith('{')]
+  if 'deadline' not in r.stderr:
+    assert [m for m in lines
+            if m['metric'] == 'tiny_graphcast_predict_ms'], r.stdout
+
+
 def test_bench_graphcast_section_runs_on_cpu():
   """Pins the builder= plumbing through bench_model (build_graphcast +
   find_layout_provider + GraphCast.loss through the chained train scan):
