@@ -74,11 +74,12 @@ Knobs:
                    tiny_graphcast,tiny_graphcast_predict},
                    ordered by priority (default 'nano,onedeg,qdeg,
                    nano_sampler,onedeg_sampler,onedeg_rollout30,
-                   graphcast,graphcast_onedeg,qdeg_sampler,
-                   graphcast_onedeg_predict' — the round-4 metric set
-                   first, so a slow relay day drops only the round-5
-                   tail; 'tiny*' are the CPU-sized configs the test tier
-                   uses to exercise this plumbing)
+                   graphcast,graphcast_onedeg,graphcast_onedeg_predict,
+                   qdeg_sampler' — the round-4 metric set first, so a
+                   slow relay day drops only the round-5 tail, whose two
+                   sections are ordered cheap-first; 'tiny*' are the
+                   CPU-sized configs the test tier uses to exercise this
+                   plumbing)
   BENCH_SKIP_1DEG / BENCH_SKIP_QDEG  legacy single-section skips
 """
 
@@ -693,8 +694,13 @@ def main():
   budget = float(os.environ.get('BENCH_BUDGET_S', '1200'))
   names = os.environ.get(
       'BENCH_SECTIONS',
+      # The two tail sections are ordered by COST, not priority:
+      # graphcast_onedeg_predict is ~90s warm while qdeg_sampler is
+      # 150-360s and stall-prone, so cheap-first lands both more often
+      # on a tight budget (greedy knapsack; the 2026-08-20 rehearsal
+      # dropped the whole tail the other way around).
       'nano,onedeg,qdeg,nano_sampler,onedeg_sampler,onedeg_rollout30,'
-      'graphcast,graphcast_onedeg,qdeg_sampler,graphcast_onedeg_predict'
+      'graphcast,graphcast_onedeg,graphcast_onedeg_predict,qdeg_sampler'
   ).split(',')
   names = [n.strip() for n in names if n.strip()]
   if os.environ.get('BENCH_SKIP_1DEG'):
