@@ -37,6 +37,11 @@ Metrics:
                                  (0.25 degrees, 37 ERA5 levels,
                                  hierarchical remat_group=4); opt-in via
                                  BENCH_SECTIONS=graphcast_qdeg37
+  graphcast_qdeg_predict_ms / graphcast_qdeg37_predict_ms — the
+                                 deterministic forecast step at the
+                                 published 0.25-degree scale (13-level
+                                 task / the full 37-level configuration);
+                                 opt-in sections
 
 Every timed metric gets *_tflops / *_mfu companions (analytic model
 FLOPs, gencast_tpu/training/flops.py, vs the v5e bf16 peak).
@@ -70,7 +75,8 @@ Knobs:
   BENCH_SECTIONS   comma list from {tiny,nano,onedeg,qdeg,nano_sampler,
                    onedeg_sampler,onedeg_rollout30,graphcast,
                    graphcast_onedeg,qdeg_sampler,graphcast_onedeg_predict,
-                   graphcast_qdeg,graphcast_qdeg37,tiny_rollout3,
+                   graphcast_qdeg,graphcast_qdeg37,graphcast_qdeg_predict,
+                   graphcast_qdeg37_predict,tiny_rollout3,
                    tiny_graphcast,tiny_graphcast_predict},
                    ordered by priority (default 'nano,onedeg,qdeg,
                    nano_sampler,onedeg_sampler,onedeg_rollout30,
@@ -614,6 +620,25 @@ def _dispatch(name: str) -> None:
     bench_qdeg_sampler()
   elif name == 'graphcast_onedeg_predict':
     bench_graphcast_predict(configs.ONE_DEG, 'graphcast_onedeg')
+  elif name == 'graphcast_qdeg_predict':
+    # Published-model scale, 13-level task. Forward-only, so none of
+    # the training memory plan is needed; reps=3 keeps the fused
+    # rollout program small (the relay crashes on LARGE multi-step
+    # 0.25-deg programs — a 3-step GraphCast rollout is ~3 forwards,
+    # ~40x smaller than the 2-chunk sampler that crashed it).
+    bench_graphcast_predict(configs.QUARTER_DEG, 'graphcast_qdeg',
+                            reps=3)
+  elif name == 'graphcast_qdeg37_predict':
+    # THE published GraphCast operating point: 0.25 degrees, all 37
+    # ERA5 levels. DeepMind quotes "under a minute for a 10-day
+    # forecast on one TPU v4"; this measures the per-step (6h) cost
+    # on one v5e.
+    import dataclasses as _dc
+
+    from gencast_tpu.data import registry as _reg
+    bench_graphcast_predict(
+        _dc.replace(configs.QUARTER_DEG, task=_reg.GRAPHCAST_TASK_37),
+        'graphcast_qdeg37', reps=3)
   elif name == 'tiny_graphcast_predict':
     bench_graphcast_predict(configs.TINY, 'tiny_graphcast', reps=3)
   elif name == 'graphcast_qdeg':
@@ -720,7 +745,8 @@ def main():
   # released through the relay (jax.clear_caches + gc still OOM'd the
   # 0.25-degree step; a fresh process reproducibly fits).
   heavy = {'qdeg', 'qdeg_sampler', 'graphcast_onedeg', 'graphcast_qdeg',
-           'graphcast_qdeg37'}
+           'graphcast_qdeg37', 'graphcast_qdeg_predict',
+           'graphcast_qdeg37_predict'}
   groups, cur = [], []
   for n in names:
     if n in heavy:
