@@ -93,6 +93,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 REPS = 21
@@ -759,6 +760,29 @@ def main():
   if cur:
     groups.append(cur)
 
+  # Children's stdout is teed through the parent, which collects every
+  # metric line and re-prints ONE compact recap as the very last line.
+  # Why: the driver records only the LAST ~2000 chars of combined
+  # output plus the last metric-shaped JSON line (BENCH_r04.json's tail
+  # is exactly 2000 chars, truncated mid-line at the start). With 10
+  # sections x 3 JSON lines + stderr, the EARLY metrics — including the
+  # headline — would fall outside that window; the recap (itself a
+  # valid metric line, ~1.5KB, printed last) survives any truncation
+  # and carries the full name->value map.
+  landed = {}
+
+  def _stream_child(pipe):
+    for line in pipe:
+      sys.stdout.write(line)
+      sys.stdout.flush()
+      if line.startswith('{'):
+        try:
+          m = json.loads(line)
+          if 'metric' in m and 'value' in m:
+            landed[m['metric']] = m['value']
+        except ValueError:
+          pass
+
   hard_deadline = _T0 + budget - 10.0
   for group in groups:
     remaining = hard_deadline - time.time()
@@ -769,17 +793,29 @@ def main():
     env = dict(os.environ, BENCH_SECTION=','.join(group),
                BENCH_DEADLINE=str(hard_deadline))
     try:
-      proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                            env=env, timeout=remaining)
-      if proc.returncode != 0:
-        print(f'[bench] child {group} exited rc={proc.returncode}',
+      proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                              env=env, stdout=subprocess.PIPE, text=True)
+      reader = threading.Thread(target=_stream_child, args=(proc.stdout,),
+                                daemon=True)
+      reader.start()
+      try:
+        rc = proc.wait(timeout=remaining)
+        if rc != 0:
+          print(f'[bench] child {group} exited rc={rc}', file=sys.stderr)
+      except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+        print(f'[bench] child {group} hit the deadline; killed '
+              f'(metrics printed before the kill still count)',
               file=sys.stderr)
-    except subprocess.TimeoutExpired:
-      print(f'[bench] child {group} hit the deadline; killed '
-            f'(metrics printed before the kill still count)',
-            file=sys.stderr)
+      reader.join(timeout=10)  # pipe EOFs once the child is gone
     except Exception as e:  # noqa: BLE001 - never fail the driver run
       print(f'[bench] child {group} failed: {e}', file=sys.stderr)
+  if landed:
+    print(json.dumps({'metric': 'bench_recap', 'value': float(len(landed)),
+                      'unit': 'metrics_landed', 'vs_baseline': None,
+                      'metrics': landed}))
+    sys.stdout.flush()
   sys.exit(0)
 
 

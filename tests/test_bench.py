@@ -44,6 +44,15 @@ def test_bench_json_contract():
     m = json.loads(line)
     assert {'metric', 'value', 'unit', 'vs_baseline'} <= set(m)
     assert isinstance(m['value'], (int, float)) and m['value'] > 0
+  # The parent's final line is a compact recap of every landed metric
+  # (the driver keeps only the last ~2000 chars of output, so the full
+  # metric set must survive in one trailing line).
+  parsed = [json.loads(l) for l in lines]
+  recap = [m for m in parsed if m['metric'] == 'bench_recap']
+  assert len(recap) == 1 and parsed[-1]['metric'] == 'bench_recap'
+  others = {m['metric'] for m in parsed} - {'bench_recap'}
+  assert set(recap[0]['metrics']) == others
+  assert recap[0]['value'] == len(others)
 
 
 def test_bench_budget_guard_skips_gracefully():
