@@ -720,13 +720,16 @@ def main():
   budget = float(os.environ.get('BENCH_BUDGET_S', '1200'))
   names = os.environ.get(
       'BENCH_SECTIONS',
-      # The two tail sections are ordered by COST, not priority:
-      # graphcast_onedeg_predict is ~90s warm while qdeg_sampler is
-      # 150-360s and stall-prone, so cheap-first lands both more often
-      # on a tight budget (greedy knapsack; the 2026-08-20 rehearsal
-      # dropped the whole tail the other way around).
+      # graphcast_onedeg_predict rides INSIDE the samplers child (it is
+      # forward-only and memory-light, ~75s warm) rather than paying its
+      # own process boundary: a fresh child's first probe after a heavy
+      # neighbor has stalled 270-530s, and the 2026-08-20 rehearsal lost
+      # this exact metric to a 385s stall in its own child. The two
+      # heavy tails stay last, cheap-first (graphcast_onedeg ~90s warm
+      # vs qdeg_sampler 150-360s and stall-prone), so a tight budget
+      # lands more of them (greedy knapsack).
       'nano,onedeg,qdeg,nano_sampler,onedeg_sampler,onedeg_rollout30,'
-      'graphcast,graphcast_onedeg,graphcast_onedeg_predict,qdeg_sampler'
+      'graphcast,graphcast_onedeg_predict,graphcast_onedeg,qdeg_sampler'
   ).split(',')
   names = [n.strip() for n in names if n.strip()]
   if os.environ.get('BENCH_SKIP_1DEG'):
