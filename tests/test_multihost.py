@@ -31,31 +31,59 @@ def _free_port() -> int:
     return s.getsockname()[1]
 
 
+# XLA's gloo CPU collectives give the cross-process key-value handshake a
+# fixed 30s deadline. On this ONE-CORE host the first attempt can blow it
+# through no fault of the code under test: pytest + two children share the
+# core, and whichever child wins the core compiles its sharded program and
+# reaches the first collective >30s before the loser (observed 2026-08-20
+# in a full-tier run; the same test passes alone in 80s). Retrying once is
+# sound because the persistent compile cache is warm on attempt 2, which
+# removes the skew — and a REAL cross-process bug fails both attempts.
+_GLOO_FLAKE = 'Gloo context initialization failed'
+
+
+def _drive_pair(spawn, tries=2):
+  """Run spawn() -> [Popen, ...] to completion; retry once on the gloo
+  handshake flake. Returns the outputs; asserts every process exited 0."""
+  for attempt in range(tries):
+    procs = spawn()
+    outs = []
+    for p in procs:
+      try:
+        out, _ = p.communicate(timeout=600)
+      except subprocess.TimeoutExpired:
+        for q in procs:
+          q.kill()
+        raise
+      outs.append(out)
+    if all(p.returncode == 0 for p in procs):
+      return outs
+    if attempt + 1 < tries and any(_GLOO_FLAKE in o for o in outs):
+      print('[test_multihost] gloo handshake flake; retrying with a warm '
+            'compile cache', file=sys.stderr)
+      continue
+    for i, (p, out) in enumerate(zip(procs, outs)):
+      assert p.returncode == 0, f'process {i} failed:\n{out}'
+  raise AssertionError('unreachable')
+
+
 @pytest.mark.slow
 def test_two_process_train_and_ensemble():
-  port = _free_port()
   # The smoke script owns its env (sets XLA_FLAGS/JAX_PLATFORMS before jax
   # import); just make sure the conftest's 8-device flag doesn't leak into
   # any earlier import in the child.
   env = {k: v for k, v in os.environ.items() if k != 'XLA_FLAGS'}
-  procs = [
-      subprocess.Popen([sys.executable, SCRIPT, str(i), '2', str(port)],
-                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                       text=True, env=env, cwd=REPO)
-      for i in range(2)
-  ]
-  outs = []
-  for p in procs:
-    try:
-      out, _ = p.communicate(timeout=600)
-    except subprocess.TimeoutExpired:
-      for q in procs:
-        q.kill()
-      raise
-    outs.append(out)
 
-  for i, (p, out) in enumerate(zip(procs, outs)):
-    assert p.returncode == 0, f'process {i} failed:\n{out}'
+  def spawn():
+    port = _free_port()
+    return [
+        subprocess.Popen([sys.executable, SCRIPT, str(i), '2', str(port)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env, cwd=REPO)
+        for i in range(2)
+    ]
+
+  outs = _drive_pair(spawn)
 
   oks = [line for out in outs for line in out.splitlines()
          if line.startswith('MULTIHOST_OK')]
@@ -83,28 +111,21 @@ def test_pod_forecast_script_two_process(tmp_path):
                      text=True, env=env, cwd=REPO, timeout=600)
   assert r.returncode == 0, r.stdout + r.stderr
 
-  port = _free_port()
   mh_out = str(tmp_path / 'mh.npz')
-  procs = [
-      subprocess.Popen(
-          common + ['--out', mh_out, '--multihost',
-                    '--coordinator', f'localhost:{port}',
-                    '--process_id', str(i), '--num_processes', '2'],
-          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-          text=True, env=env, cwd=REPO)
-      for i in range(2)
-  ]
-  outs = []
-  for p in procs:
-    try:
-      out, _ = p.communicate(timeout=600)
-    except subprocess.TimeoutExpired:
-      for q in procs:
-        q.kill()
-      raise
-    outs.append(out)
-  for i, (p, out) in enumerate(zip(procs, outs)):
-    assert p.returncode == 0, f'process {i} failed:\n{out}'
+
+  def spawn():
+    port = _free_port()
+    return [
+        subprocess.Popen(
+            common + ['--out', mh_out, '--multihost',
+                      '--coordinator', f'localhost:{port}',
+                      '--process_id', str(i), '--num_processes', '2'],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO)
+        for i in range(2)
+    ]
+
+  _drive_pair(spawn)
 
   sp = np.load(sp_out)
   mh = {}
@@ -148,33 +169,25 @@ def test_train_cli_two_process_with_resume(tmp_path):
   ckpt = str(tmp_path / 'ckpt')
 
   def run_pair(steps):
-    port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != 'XLA_FLAGS'}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, '-m', 'gencast_tpu.training.train',
-             '--preset', 'tiny', '--data', 'synthetic',
-             '--steps', str(steps), '--log_every', '2',
-             '--batch_size', '4', '--cpu', '2', '--multihost',
-             '--coordinator', f'localhost:{port}',
-             '--process_id', str(i), '--num_processes', '2',
-             '--ckpt_dir', ckpt],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True, env=env, cwd=REPO)
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-      try:
-        out, _ = p.communicate(timeout=600)
-      except subprocess.TimeoutExpired:
-        for q in procs:
-          q.kill()
-        raise
-      outs.append(out)
-    for i, (p, out) in enumerate(zip(procs, outs)):
-      assert p.returncode == 0, f'process {i} failed:\n{out}'
-    return outs
+
+    def spawn():
+      port = _free_port()
+      return [
+          subprocess.Popen(
+              [sys.executable, '-m', 'gencast_tpu.training.train',
+               '--preset', 'tiny', '--data', 'synthetic',
+               '--steps', str(steps), '--log_every', '2',
+               '--batch_size', '4', '--cpu', '2', '--multihost',
+               '--coordinator', f'localhost:{port}',
+               '--process_id', str(i), '--num_processes', '2',
+               '--ckpt_dir', ckpt],
+              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+              text=True, env=env, cwd=REPO)
+          for i in range(2)
+      ]
+
+    return _drive_pair(spawn)
 
   def loss_fields(out, tag='[train] step'):
     # '[train] step K/N loss=X.XXXX S steps/s' -> ('K/N', 'loss=X.XXXX');
