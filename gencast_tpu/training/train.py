@@ -385,11 +385,10 @@ def main(argv=None):
   # Fused multi-step training: one dispatch per K steps (see
   # steps_lib.scanned_train_steps). The host loop's per-step dispatch
   # overhead would otherwise dominate small models.
-  fused = (args.steps_per_call > 1 and args.model == 'gencast'
-           and ar_steps <= 1 and mesh is None
+  fused = (args.steps_per_call > 1 and ar_steps <= 1 and mesh is None
            and args.batch_size == 1)
   if args.steps_per_call > 1 and not fused:
-    print('[train] fused steps_per_call requires gencast, batch_size=1, '
+    print('[train] fused steps_per_call requires batch_size=1, '
           'ar_steps=1, no mesh; falling back to per-step dispatch')
   if args.data_workers > 0 and (fused or ar_steps > 1):
     # Neither path reaches make_iterator; say so instead of silently

@@ -15,15 +15,15 @@ from gencast_tpu import configs
 from gencast_tpu.training import steps as steps_lib
 
 
-def _build(seed=0):
-  model, statics = configs.build_gencast(configs.TINY, rngs=nnx.Rngs(seed))
+def _build(seed=0, builder=configs.build_gencast):
+  model, statics = builder(configs.TINY, rngs=nnx.Rngs(seed))
   opt = steps_lib.create_optimizer(
       model, steps_lib.OptimizerConfig(total_steps=100))
   return model, opt, statics
 
 
 def _pool(statics, model, m=3, seed=1):
-  d = model.denoiser
+  d = getattr(model, 'denoiser', model)  # GraphCast holds layouts itself
   nlat = statics.grid_lat.shape[0]
   nlon = statics.grid_lon.shape[0]
   rng = np.random.default_rng(seed)
@@ -69,6 +69,57 @@ def test_scanned_matches_per_step():
   for a, b in zip(la, lb):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_scanned_matches_per_step_graphcast():
+  """The fused scan is model-agnostic (uniform predictor.loss API): the
+  deterministic family must reproduce its per-step loop too. GraphCast
+  ignores the PRNG key, so agreement here pins batch selection + the
+  optimizer-threading rather than the noise stream."""
+  model_a, opt_a, statics = _build(builder=configs.build_graphcast)
+  model_b, opt_b, _ = _build(builder=configs.build_graphcast)
+  pool = _pool(statics, model_a)
+  key = jax.random.PRNGKey(7)
+  idx = [2, 0, 1]
+  steps = list(range(3))
+
+  per_step_losses = []
+  for i, s in zip(idx, steps):
+    loss, _ = steps_lib.train_step(
+        model_a, opt_a, pool['inputs'][i], pool['targets'][i],
+        pool['forcings'][i], jax.random.fold_in(key, s))
+    per_step_losses.append(float(loss))
+
+  fused_fn, state = steps_lib.scanned_train_steps(model_b, opt_b)
+  state, losses = fused_fn(state, pool, np.asarray(idx), key,
+                           np.asarray(steps))
+  nnx.update((model_b, opt_b), state)
+
+  np.testing.assert_allclose(np.asarray(losses), per_step_losses,
+                             rtol=2e-5, atol=1e-6)
+  pa = nnx.state(model_a, nnx.Param)
+  pb = nnx.state(model_b, nnx.Param)
+  la, lb = jax.tree.leaves(pa), jax.tree.leaves(pb)
+  assert len(la) == len(lb) and len(la) > 0
+  for a, b in zip(la, lb):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_cli_fused_graphcast_smoke(tmp_path):
+  from gencast_tpu.training import train
+
+  metrics_jsonl = str(tmp_path / 'metrics.jsonl')
+  train.main(['--model', 'graphcast', '--preset', 'tiny',
+              '--data', 'synthetic', '--steps', '4',
+              '--steps_per_call', '2', '--log_every', '2',
+              '--metrics_jsonl', metrics_jsonl])
+  with open(metrics_jsonl) as f:
+    events = [json.loads(line) for line in f]
+  assert events and events[0]['event'] == 'train'
+  assert events[0]['step'] == 2 and 'loss' in events[0]
 
 
 @pytest.mark.slow
