@@ -113,7 +113,8 @@ def functional_train_step(model: nnx.Module, optimizer: nnx.Optimizer):
   return step_fn, state
 
 
-def scanned_train_steps(model: nnx.Module, optimizer: nnx.Optimizer):
+def scanned_train_steps(model: nnx.Module, optimizer: nnx.Optimizer,
+                        ar: bool = False):
   """Fused multi-step training: one dispatch runs K steps on-device.
 
   A host-driven loop pays the dispatch overhead every step (through the
@@ -141,7 +142,17 @@ def scanned_train_steps(model: nnx.Module, optimizer: nnx.Optimizer):
   same pattern in bench.py reproduces the single-step time exactly).
   The state is NOT donated: donating would invalidate the StaticData
   buffers other model instances share via the host-side graph caches.
+
+  With ar=True each optimization step trains the multi-step
+  autoregressive loss (rollout.autoregressive_loss — grads through the
+  whole rollout, the reference's common/autoregressive.py:127-312 role)
+  instead of the 1-step predictor loss; pool 'targets'/'forcings' then
+  hold [M, K_ar, B, ...] frame windows. The per-step PRNG stream is
+  unchanged (fold_in(base_key, step) is the key autoregressive_loss
+  splits per forecast step, exactly as the per-step AR loop passes it).
   """
+  from gencast_tpu import rollout as rollout_lib
+
   graphdef, state = nnx.split((model, optimizer))
 
   @jax.jit
@@ -152,7 +163,11 @@ def scanned_train_steps(model: nnx.Module, optimizer: nnx.Optimizer):
       k = jax.random.fold_in(base_key, step)
 
       def loss_fn(mm):
-        loss, _ = mm.loss(inputs[i], targets[i], forcings[i], k)
+        if ar:
+          loss, _ = rollout_lib.autoregressive_loss(
+              mm, inputs[i], targets[i], forcings[i], k)
+        else:
+          loss, _ = mm.loss(inputs[i], targets[i], forcings[i], k)
         return loss.mean()
 
       loss, grads = nnx.value_and_grad(loss_fn)(m)

@@ -143,13 +143,17 @@ def build_spec(args):
   return dataclasses.replace(spec, **overrides) if overrides else spec
 
 
-def _run_fused(args, source, wrapped, optimizer, manager, sink, start_step):
+def _run_fused(args, source, wrapped, optimizer, manager, sink, start_step,
+               ar_steps=1):
   """Fused training loop: K steps per dispatch via scanned_train_steps.
 
   Epoch shuffling matches the per-step loop's batch_iterator in spirit
   (a host-side permutation stream selects pool rows per step); the
   per-step PRNG keys are bit-identical to the per-step loop
-  (fold_in(key, step) inside the scan body).
+  (fold_in(key, step) inside the scan body). With ar_steps > 1 the pool
+  rows are AR frame windows ([K_ar, B, ...] targets/forcings, same
+  shapes as the per-step AR iterator) and each scan step trains the
+  multi-step autoregressive loss.
   """
   import flax.nnx as nnx
   import jax
@@ -159,18 +163,28 @@ def _run_fused(args, source, wrapped, optimizer, manager, sink, start_step):
   from gencast_tpu.training import steps as steps_lib
 
   k_call = args.steps_per_call
-  m_pool = min(len(source), args.pool_size)
-  samples = [source.sample(i) for i in range(m_pool)]
+  ar = ar_steps > 1
+  # AR windows consume ar_steps target frames, so the last ar_steps-1
+  # start indices don't fit (same bound as the per-step AR iterator).
+  m_pool = min(max(1, len(source) - ar_steps + 1), args.pool_size)
+  samples = [source.sample(i, num_target_frames=ar_steps)
+             for i in range(m_pool)]
+
+  def frames(x):
+    # [K_ar, ...] window -> [K_ar, B=1, ...]; 1-step sample -> [B=1, ...].
+    return jnp.asarray(x)[:, None] if ar else jnp.asarray(x)[None]
+
   pool = {
       'inputs': jnp.stack([jnp.asarray(w.inputs)[None] for w in samples]),
-      'targets': jnp.stack([jnp.asarray(w.targets)[None] for w in samples]),
-      'forcings': jnp.stack(
-          [jnp.asarray(w.forcings)[None] for w in samples]),
+      'targets': jnp.stack([frames(w.targets) for w in samples]),
+      'forcings': jnp.stack([frames(w.forcings) for w in samples]),
   }
   del samples
-  fused_fn, fstate = steps_lib.scanned_train_steps(wrapped, optimizer)
+  fused_fn, fstate = steps_lib.scanned_train_steps(wrapped, optimizer,
+                                                   ar=ar)
   print(f'[train] fused mode: {k_call} steps/call, '
-        f'device pool of {m_pool} samples')
+        f'device pool of {m_pool} samples'
+        + (f', AR loss over {ar_steps} steps' if ar else ''))
 
   rng = np.random.default_rng(args.seed)
   perm: list = []
@@ -385,11 +399,11 @@ def main(argv=None):
   # Fused multi-step training: one dispatch per K steps (see
   # steps_lib.scanned_train_steps). The host loop's per-step dispatch
   # overhead would otherwise dominate small models.
-  fused = (args.steps_per_call > 1 and ar_steps <= 1 and mesh is None
+  fused = (args.steps_per_call > 1 and mesh is None
            and args.batch_size == 1)
   if args.steps_per_call > 1 and not fused:
-    print('[train] fused steps_per_call requires batch_size=1, '
-          'ar_steps=1, no mesh; falling back to per-step dispatch')
+    print('[train] fused steps_per_call requires batch_size=1 and no '
+          'mesh; falling back to per-step dispatch')
   if args.data_workers > 0 and (fused or ar_steps > 1):
     # Neither path reaches make_iterator; say so instead of silently
     # packing in-process.
@@ -397,7 +411,8 @@ def main(argv=None):
     print(f'[train] --data_workers is ignored in {mode} mode; '
           f'batches are packed in-process')
   if fused:
-    _run_fused(args, source, wrapped, optimizer, manager, sink, start_step)
+    _run_fused(args, source, wrapped, optimizer, manager, sink, start_step,
+               ar_steps)
     return
 
   # Donated-state step for memory-bound specs (ModelSpec.use_donated_step;
