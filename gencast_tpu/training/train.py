@@ -70,8 +70,8 @@ def parse_args(argv=None):
   p.add_argument('--steps_per_call', type=int, default=1,
                  help='fuse K train steps into one on-device lax.scan '
                       'over a device-resident sample pool (amortizes '
-                      'per-step dispatch overhead; gencast, batch_size=1, '
-                      'single-host only)')
+                      'per-step dispatch overhead; batch_size=1, '
+                      'single-host only; composes with --ar_steps)')
   p.add_argument('--pool_size', type=int, default=64,
                  help='max samples resident on device in fused mode')
   p.add_argument('--clean_sst_nans', action='store_true')
